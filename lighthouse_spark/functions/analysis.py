@@ -1,0 +1,105 @@
+"""Text analysis (tokenization) — the engine's analyzer.
+
+The reference delegates analysis to the Lucene/ES *standard analyzer*
+(Unicode word-break + lowercase); it is applied identically at index
+and query time (ref: /root/reference/app/es/index/claims.go — no custom
+analyzer is configured, so the standard analyzer applies to all text
+fields). We own the analyzer natively, in two modes:
+
+- ``simple``: lowercase, split on non-alphanumeric runs. This is the
+  standard-analyzer analogue and is exactly expressible in ANSI SQL
+  (``regexp_split_to_array(lower(s), '[^a-z0-9]+')``), which the DuckDB
+  oracle uses for the correctness gate.
+- ``code``: ``simple`` plus code-aware identifier splitting — camelCase
+  and ALLCAPSWord boundaries are split before lowercasing (snake_case
+  splits fall out of the punctuation rule). This is the mode mandated
+  for the source-code corpus (BASELINE.json north_star).
+
+The SAME vectorized pandas implementation backs (a) the index-build
+pandas UDF, (b) driver-side query tokenization, and (c) the pure-Python
+test oracle — byte-identical analysis on both sides by construction.
+
+No per-row Python UDFs: the Spark entry point is a pandas (Arrow) UDF.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+# camelCase boundary: lower/digit followed by upper …
+_CAMEL1 = re.compile(r"([a-z0-9])([A-Z])")
+# … and ACRONYMWord boundary: run of uppers followed by Upper+lower.
+_CAMEL2 = re.compile(r"([A-Z]+)([A-Z][a-z])")
+
+MODES = ("simple", "code")
+
+
+def _normalize(s: pd.Series, mode: str) -> pd.Series:
+    s = s.fillna("")
+    if mode == "code":
+        s = s.str.replace(_CAMEL1, r"\1 \2", regex=True)
+        s = s.str.replace(_CAMEL2, r"\1 \2", regex=True)
+    return s.str.lower()
+
+
+def tokenize_pandas(s: pd.Series, mode: str = "simple") -> pd.Series:
+    """Vectorized tokenizer: Series[str] -> Series[list[str]]."""
+    if mode not in MODES:
+        raise ValueError(f"unknown analyzer mode {mode!r}")
+    return _normalize(s, mode).str.findall(TOKEN_RE)
+
+
+def tokenize_text(text: str, mode: str = "simple") -> list[str]:
+    """Single-string tokenizer (query side / oracle side)."""
+    return tokenize_pandas(pd.Series([text]), mode).iloc[0]
+
+
+def tokenize_udf(mode: str = "simple"):
+    """Return a pandas UDF column function: string col -> array<string>.
+
+    Arrow-batched; used by the index builder. Token *positions* are
+    recovered JVM-side with ``posexplode`` so Python never loops rows.
+    """
+    if mode not in MODES:
+        raise ValueError(f"unknown analyzer mode {mode!r}")
+
+    @F.pandas_udf("array<string>")
+    def _tok(s: pd.Series) -> pd.Series:
+        return tokenize_pandas(s, mode)
+
+    return _tok
+
+
+def tokens_col(col: Column | str, mode: str = "simple") -> Column:
+    """Tokenize a column to array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return tokenize_udf(mode)(c)
+
+
+# --- reference-parity string helpers -------------------------------------
+
+_STRIP_NAME = re.compile(r"(-|_|\bThe\b|\bthe\b|&)")
+
+
+def stripped_name_col(col: Column | str) -> Column:
+    """`stripped_name` derivation: remove `- _ The the &`.
+
+    Ref: /root/reference/app/model/claim.go:170-185 (checkForSpecialChars
+    / createStrippedName). Pure built-in functions — stays in codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"(-|_|\bThe\b|\bthe\b|&)", "")
+
+
+def compressed_col(col: Column | str) -> Column:
+    """Space-stripped "compressed" variant of a name/channel.
+
+    Ref: /root/reference/app/actions/search/query.go:193,212.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.replace(c, F.lit(" "), F.lit(""))

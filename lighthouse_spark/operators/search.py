@@ -1,0 +1,237 @@
+"""Ranked-retrieval operators (SURVEY.md §2.3 Q1-Q14).
+
+Each clause produces a scored candidate frame ``(doc_id, score)``;
+the bool combinator unions clause frames and sum-aggregates — the
+Spark-native expression of ES's bool/should with score_mode=sum
+(ref: /root/reference/app/actions/search/query.go:22-71).
+
+Scale notes:
+- Query terms are pushed as an IN-list filter on the postings scan
+  (parquet row-group pruning + dictionary filters apply); the df side
+  table is filtered to the same terms and BROADCAST — no large shuffle
+  in the scoring path. dl is already denormalized into postings.
+- The per-clause frames for one query are small (candidate docs only);
+  the union + groupBy-sum aggregates partially map-side.
+- Top-k is `orderBy(score desc, doc_id asc).limit(k)` — Spark plans
+  TakeOrderedAndProject (per-partition heap + driver merge), the same
+  shape as ES's per-shard top-k + coordinator merge.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lighthouse_spark.operators import scoring
+from lighthouse_spark.plans.indexer import InvertedIndex
+
+MAX_EXPANSIONS = 50  # ref: auto_complete.go:59-64
+
+
+def _field_postings(index: InvertedIndex, field: str, terms: list[str]) -> DataFrame:
+    return index.postings.filter(
+        (F.col("field") == field) & F.col("term").isin(list(set(terms)))
+    )
+
+
+def _qterms_df(index: InvertedIndex, terms: list[str]) -> DataFrame:
+    """Query terms with query-side term frequency (Lucene scores a
+    duplicated query term once per occurrence — equivalent to a qtf
+    multiplier under score-sum)."""
+    counts = Counter(terms)
+    return index.spark.createDataFrame(
+        [(t, float(c)) for t, c in sorted(counts.items())], "term string, qtf double"
+    )
+
+
+def match_terms(
+    index: InvertedIndex, field: str, terms: list[str], boost: float = 1.0
+) -> DataFrame:
+    """`match` clause: OR-of-terms BM25 (Q1; query.go:171-180 etc.).
+
+    Returns (doc_id, score). Empty terms -> empty frame.
+    """
+    n, avgdl = index.corpus_stats().get(field, (0, 1.0))
+    if not terms or n == 0:
+        return _empty_scored(index)
+    p = _field_postings(index, field, terms)
+    ts = index.term_stats.filter(
+        (F.col("field") == field) & F.col("term").isin(list(set(terms)))
+    ).select("term", "df")
+    q = _qterms_df(index, terms)
+    per_term = (
+        p.join(F.broadcast(ts), "term")
+        .join(F.broadcast(q), "term")
+        .select(
+            "doc_id",
+            (
+                scoring.bm25_col(F.col("tf"), F.col("dl"), F.col("df"), n, avgdl)
+                * F.col("qtf")
+                * F.lit(float(boost))
+            ).alias("score"),
+        )
+    )
+    return per_term.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+
+def phrase(
+    index: InvertedIndex,
+    field: str,
+    terms: list[str],
+    boost: float = 1.0,
+    slop: int = 0,
+) -> DataFrame:
+    """`match_phrase` clause (Q2; query.go:136-169).
+
+    Lucene phrase scoring: idf = sum of constituent-term idfs; tf =
+    number of phrase occurrences in the doc. Adjacency is checked with
+    built-in higher-order array functions over the per-term position
+    arrays — no Python, no self-join explosion: the per-doc state is a
+    term->positions map built from the (few) posting rows of the
+    query's own terms.
+
+    ``slop`` > 0 uses a greedy ordered window: each next term must
+    appear within (pos, pos+slop+1] of the previous match — a
+    documented simplification of Lucene's sloppy-phrase freq, used only
+    by the autocomplete path (slop 5; auto_complete.go:63).
+    """
+    n, avgdl = index.corpus_stats().get(field, (0, 1.0))
+    if not terms or n == 0:
+        return _empty_scored(index)
+    spec = index.fields[field]
+    if not spec.positions:
+        raise ValueError(f"field {field!r} was indexed without positions")
+
+    uniq = sorted(set(terms))
+    # df per query term (tiny driver-side lookup; also lets us bail out
+    # early when any phrase term is absent from the corpus).
+    ts = index.term_stats.filter(
+        (F.col("field") == field) & F.col("term").isin(uniq)
+    ).select("term", "df")
+    df_map = {r["term"]: int(r["df"]) for r in ts.collect()}
+    if any(t not in df_map for t in terms):
+        return _empty_scored(index)
+    # Lucene PhraseQuery idf: sum over term *occurrences* in the phrase.
+    idf_sum = sum(scoring.idf_py(df_map[t], n) for t in terms)
+
+    p = _field_postings(index, field, terms)
+    per_doc = p.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "positions"))).alias("posmap"),
+        F.first("dl").alias("dl"),
+        F.count("*").alias("nterms"),
+    ).filter(F.col("nterms") == len(uniq))
+
+    # Phrase occurrences anchored at each position of terms[0] — all
+    # built-in higher-order functions, evaluated JVM-side per row.
+    anchor = F.element_at("posmap", terms[0])
+    rest = terms[1:]
+    if not rest:
+        freq = F.size(anchor)
+    elif slop == 0:
+
+        def adjacent(x):
+            cond = F.lit(True)
+            for i, t in enumerate(rest, start=1):
+                cond = cond & F.array_contains(F.element_at("posmap", t), x + i)
+            return cond
+
+        freq = F.size(F.filter(anchor, adjacent))
+    else:
+
+        def chain(i, prev):
+            if i == len(terms):
+                return F.lit(True)
+            arr = F.element_at("posmap", terms[i])
+            return F.exists(
+                arr, lambda xi: (xi > prev) & (xi <= prev + slop + 1) & chain(i + 1, xi)
+            )
+
+        freq = F.size(F.filter(anchor, lambda x0: chain(1, x0)))
+
+    scored = per_doc.withColumn("freq", freq).filter(F.col("freq") > 0)
+    return scored.select(
+        "doc_id",
+        (
+            F.lit(idf_sum)
+            * scoring.tf_norm_col(F.col("freq").cast("double"), F.col("dl"), avgdl)
+            * F.lit(float(boost))
+        ).alias("score"),
+    )
+
+
+def _empty_scored(index: InvertedIndex) -> DataFrame:
+    return index.spark.createDataFrame([], "doc_id long, score double")
+
+
+def bool_should(frames: list[DataFrame], minimum_should_match: int = 1) -> DataFrame:
+    """SHOULD combinator, score_mode=sum (Q8; query.go:22-71, 373).
+
+    Union the per-clause scored frames and sum; `minimum_should_match`
+    = HAVING count(matched clauses) >= m.
+    """
+    frames = [f for f in frames if f is not None]
+    if not frames:
+        raise ValueError("bool_should needs at least one clause")
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    agg = u.groupBy("doc_id").agg(
+        F.sum("score").alias("score"), F.count("*").alias("matched_clauses")
+    )
+    if minimum_should_match > 1:
+        agg = agg.filter(F.col("matched_clauses") >= minimum_should_match)
+    return agg.select("doc_id", "score")
+
+
+def top_k(
+    scored: DataFrame,
+    docs: DataFrame,
+    doc_id_col: str,
+    k: int = 10,
+    offset: int = 0,
+    columns: list[str] | None = None,
+    sort_by: str | None = None,
+    round_score: int | None = None,
+) -> DataFrame:
+    """Join stored fields and take the page (T1-T3; search.go:92-116).
+
+    Default order: score DESC, doc_id ASC (deterministic tie-break —
+    SURVEY.md §7.4.2). `sort_by='field'` asc / `'^field'` desc mirrors
+    the reference's sortBy convention (search.go:113-116).
+    """
+    # Alias both sides: `scored` usually derives from `docs` (self-join
+    # lineage); qualified names keep the analyzer unambiguous.
+    s, d = scored.alias("_s"), docs.alias("_d")
+    out = s.join(d, F.col("_s.doc_id") == F.col(f"_d.{doc_id_col}"), "inner")
+    score_col = (
+        F.round("_s.score", round_score).alias("score")
+        if round_score is not None
+        else F.col("_s.score").alias("score")
+    )
+    wanted = columns or docs.columns
+    sel = [F.col(f"_d.{c}").alias(c) for c in wanted] + [score_col]
+    if doc_id_col not in wanted and "doc_id" not in wanted:
+        sel.insert(0, F.col(f"_s.doc_id").alias("doc_id"))
+    out = out.select(*sel)
+    tie = "doc_id" if "doc_id" in out.columns else doc_id_col
+    if sort_by:
+        desc = sort_by.startswith("^")
+        fld = sort_by.lstrip("^")
+        order = [F.col(fld).desc() if desc else F.col(fld).asc(), F.col(tie).asc()]
+    else:
+        order = [F.col("score").desc(), F.col(tie).asc()]
+    out = out.orderBy(*order)
+    if offset:
+        # Pagination beyond head: row_number window then slice (T3).
+        from pyspark.sql import Window
+
+        w = Window.orderBy(*order)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + k))
+            .drop("_rn")
+        )
+        return out
+    return out.limit(k)

@@ -1,0 +1,160 @@
+"""Inverted-index construction as declarative DataFrame jobs.
+
+What Lucene does inside Elasticsearch for the reference (per-field
+postings, norms, df/avgdl statistics — relied on by every match clause,
+ref: /root/reference/app/actions/search/query.go:22-71), re-expressed
+as four DataFrames:
+
+- ``postings``  (field, term, doc_id, tf, dl[, positions])
+- ``term_stats`` (field, term, df)
+- ``doc_stats``  (doc_id, field, dl)
+- ``corpus``     per-field (n_docs, avgdl) — scalars, broadcast
+
+Design notes for 100 TB scale:
+
+- Tokenization is a single Arrow-batched pandas UDF; positions are
+  recovered with ``posexplode`` JVM-side, so the Python boundary is one
+  column in, one array column out.
+- ``dl`` (document field length — Lucene's "norm") is DENORMALIZED into
+  the posting row at build time. This removes the doc_stats join from
+  the query path entirely: scoring needs only the postings rows for the
+  query's terms plus a broadcast of per-term df. One shuffle saved per
+  query, and the postings scan is the only large input.
+- The groupBy keys are (field, term, doc_id) — high cardinality, no
+  skew: a stopword term contributes ONE ROW PER DOC, and rows of one
+  term hash-spread by doc_id. Skew handling for the *persisted* layout
+  (range partitioning by term) lives in sources/store.py.
+- Everything before the final agg is map-side partial-aggregatable;
+  Catalyst inserts the partial HashAggregate automatically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lighthouse_spark.functions.analysis import tokens_col
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One searchable field: source column + whether to store positions.
+
+    Positions are needed only for phrase queries (ref match_phrase,
+    query.go:136-169); storing them inflates the index ~2-3x, so they
+    are opt-in per field (SURVEY.md §7.4 risk 4).
+    """
+
+    column: str
+    positions: bool = False
+
+
+@dataclass
+class InvertedIndex:
+    """Logical index: lazy DataFrames + cached corpus scalars."""
+
+    docs: DataFrame
+    postings: DataFrame
+    term_stats: DataFrame
+    doc_stats: DataFrame
+    fields: dict[str, FieldSpec]
+    doc_id_col: str
+    mode: str
+    _corpus: dict[str, tuple[int, float]] | None = dc_field(default=None, repr=False)
+
+    def corpus_stats(self) -> dict[str, tuple[int, float]]:
+        """Per-field (n_docs, avgdl). Small action, cached."""
+        if self._corpus is None:
+            rows = (
+                self.doc_stats.groupBy("field")
+                .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+                .collect()
+            )
+            self._corpus = {r["field"]: (int(r["n_docs"]), float(r["avgdl"])) for r in rows}
+        return self._corpus
+
+    def cache(self) -> "InvertedIndex":
+        self.postings = self.postings.cache()
+        self.term_stats = self.term_stats.cache()
+        self.doc_stats = self.doc_stats.cache()
+        self.docs = self.docs.cache()
+        return self
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.docs.sparkSession
+
+
+def _tokens(docs: DataFrame, doc_id_col: str, fields: dict[str, FieldSpec], mode: str) -> DataFrame:
+    """(doc_id, field, pos, term) — one stream unioned over fields."""
+    parts = []
+    for name, spec in fields.items():
+        parts.append(
+            docs.select(
+                F.col(doc_id_col).alias("doc_id"),
+                F.lit(name).alias("field"),
+                F.posexplode(tokens_col(spec.column, mode)).alias("pos", "term"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_index(
+    docs: DataFrame,
+    doc_id_col: str,
+    fields: dict[str, FieldSpec] | dict[str, str],
+    mode: str = "simple",
+) -> InvertedIndex:
+    """Build the logical inverted index over ``docs``.
+
+    ``fields`` maps field name -> FieldSpec (or bare source column
+    name). ``doc_id_col`` must be unique per document — for the
+    source-code corpus it is xxhash64(repo, path, commit) assigned in
+    corpus.py, stable across runs and parallelism levels (SURVEY.md
+    §7.4 determinism requirement).
+    """
+    specs = {k: (v if isinstance(v, FieldSpec) else FieldSpec(v)) for k, v in fields.items()}
+    tokens = _tokens(docs, doc_id_col, specs, mode)
+
+    any_positions = any(s.positions for s in specs.values())
+    pos_fields = [k for k, s in specs.items() if s.positions]
+
+    aggs = [F.count("*").alias("tf")]
+    if any_positions:
+        # sort_array for determinism: collect_list order is not guaranteed.
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+
+    grouped = tokens.groupBy("field", "term", "doc_id").agg(*aggs)
+    if any_positions:
+        # Null positions for fields that don't need them (index-size control).
+        grouped = grouped.withColumn(
+            "positions",
+            F.when(F.col("field").isin(pos_fields), F.col("positions")),
+        )
+
+    doc_stats = tokens.groupBy("doc_id", "field").agg(F.count("*").alias("dl"))
+
+    # Denormalize dl into postings (see module docstring).
+    postings = grouped.join(doc_stats, ["doc_id", "field"]).select(
+        "field", "term", "doc_id", "tf", "dl", *(["positions"] if any_positions else [])
+    )
+
+    term_stats = grouped.groupBy("field", "term").agg(F.count("*").alias("df"))
+
+    return InvertedIndex(
+        docs=docs,
+        postings=postings,
+        term_stats=term_stats,
+        doc_stats=doc_stats,
+        fields=specs,
+        doc_id_col=doc_id_col,
+        mode=mode,
+    )
