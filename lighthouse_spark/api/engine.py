@@ -1,0 +1,384 @@
+"""The composite search engine — the reference's `/search` semantics.
+
+Re-expresses newQuery()'s function_score tree (ref: /root/reference/
+app/actions/search/query.go:21-71) as DataFrame composition:
+
+    function_score( score_mode=sum,
+      bool( SHOULD [7 boost-queries]            # func_score.go
+            MUST  bool(SHOULD [11 match/phrase/mlt clauses])
+            FILTER [exact, nsfw, free, contentType, mediaType,
+                    claimType, channelID, channel, claimID,
+                    related, bidState] )
+      + 4 gauss release_time decays )
+
+Pipeline: (1) candidate generation = union of scored min-set clause
+frames, groupBy-sum (ES bool/should score_mode=sum, minimum 1 clause);
+(2) filters — pure WHERE on the docs side, never affecting scores or
+corpus stats; (3) doc-level boost columns + gauss decays added to the
+query score; (4) deterministic top-k.
+
+PINNED SCORING SEMANTICS (documented divergence from ES): term
+conditions on structural fields (`claim_type`, `bid_state` inside
+bool/constant-score contexts) act as pure conditions contributing 0 to
+the score, whereas ES would add a (nearly constant) BM25 term score
+for them. Free-text clause scores are exact BM25. The golden-set
+oracle (tests) pins these semantics; the reference repo itself asserts
+no scores (SURVEY.md §5).
+
+Scale: each clause frame is an IN-list-filtered postings scan +
+broadcast stats join; the union/groupBy is over candidate docs only.
+Doc-gated clauses semi-join against a filtered docs projection —
+broadcastable when selective. Nothing here shuffles the full corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lighthouse_spark.api import special
+from lighthouse_spark.api.request import (
+    CAD_TYPES,
+    MEDIA_TYPES,
+    SearchRequest,
+    extract_quoted_phrases,
+    truncate_query,
+)
+from lighthouse_spark.functions.analysis import tokenize_text
+from lighthouse_spark.operators import expand, scoring, search
+from lighthouse_spark.plans.indexer import InvertedIndex
+
+
+@dataclass
+class ClaimsFieldMap:
+    """Logical reference fields -> physical doc columns. Set an entry
+    to None when the corpus lacks the concept; dependent clauses are
+    skipped (the reference behaves likewise for absent/null fields)."""
+
+    name: str | None = "name"
+    title: str | None = "title"
+    description: str | None = "description"
+    channel: str | None = "channel"
+    claim_type: str | None = "claim_type"
+    bid_state: str | None = "bid_state"
+    thumbnail_url: str | None = "thumbnail_url"
+    effective_amount: str | None = "effective_amount"
+    certificate_amount: str | None = "certificate_amount"
+    view_cnt: str | None = "view_cnt"
+    sub_cnt: str | None = "sub_cnt"
+    claim_cnt: str | None = "claim_cnt"
+    release_time: str | None = "release_time"   # epoch seconds (double/long)
+    fee: str | None = "fee"
+    nsfw: str | None = "nsfw"
+    tags: str | None = "tags"                   # array<string>
+    content_type: str | None = "content_type"
+    channel_claim_id: str | None = "channel_claim_id"
+    claim_id: str | None = "claim_id"
+
+
+NSFW_TAGS = ["nsfw", "porn", "mature", "xxx"]  # query.go:368
+
+
+@dataclass
+class SearchEngine:
+    index: InvertedIndex
+    fields: ClaimsFieldMap = dc_field(default_factory=ClaimsFieldMap)
+    now_seconds: float = 1767225600.0  # explicit for determinism (§7.4.6)
+    enable_fuzzy: bool = True
+    enable_mlt: bool = True
+
+    # ---- helpers ----------------------------------------------------------
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.index.docs
+
+    @property
+    def _id(self) -> str:
+        return self.index.doc_id_col
+
+    def _has(self, logical: str) -> bool:
+        col = getattr(self.fields, logical)
+        return col is not None and col in self.docs.columns
+
+    def _col(self, logical: str) -> Column:
+        return F.col(getattr(self.fields, logical))
+
+    def _terms(self, s: str) -> list[str]:
+        return tokenize_text(s, self.index.mode)
+
+    def _gate(self, frame: DataFrame | None, cond: Column) -> DataFrame | None:
+        """Restrict a scored frame to docs satisfying a structural
+        condition (MUST term-condition, score contribution 0)."""
+        if frame is None:
+            return None
+        ids = self.docs.filter(cond).select(F.col(self._id).alias("doc_id"))
+        return frame.join(ids, "doc_id", "left_semi")
+
+    def _match(self, logical: str, terms: list[str], boost: float, fuzzy: bool) -> DataFrame | None:
+        if not self._has(logical) or not terms:
+            return None
+        fname = getattr(self.fields, logical)
+        if fuzzy and self.enable_fuzzy:
+            expanded: list[str] = []
+            for t in terms:
+                expanded.extend(expand.expand_fuzzy(self.index, fname, t))
+            terms = expanded
+        return search.match_terms(self.index, fname, terms, boost)
+
+    def _phrase(self, logical: str, terms: list[str], boost: float) -> DataFrame | None:
+        if not self._has(logical) or not terms:
+            return None
+        fname = getattr(self.fields, logical)
+        if not self.index.fields[fname].positions:
+            return None
+        return search.phrase(self.index, fname, terms, boost)
+
+    # ---- min-set clauses (query.go:35-50) ---------------------------------
+
+    def _min_set(self, req: SearchRequest, s: str, terms: list[str]) -> list[DataFrame]:
+        at = s.startswith("@")  # @-prefix → channel-name intent (query.go:163-180)
+        compressed = s.replace(" ", "")
+        comp_terms = self._terms(compressed)
+        is_channel = self._col("claim_type") == "channel" if self._has("claim_type") else None
+        is_stream = self._col("claim_type") == "stream" if self._has("claim_type") else None
+
+        frames: list[DataFrame | None] = []
+        # moreLikeThis (query.go:106-121)
+        if self.enable_mlt:
+            frames.append(self._mlt(req, terms))
+        # matchPhraseName boost 2 (*10 if @) (query.go:161-169)
+        frames.append(self._phrase("name", terms, 2.0 * (10 if at else 1)))
+        # matchName fuzzy boost 1 (*10 if @) (query.go:171-180)
+        frames.append(self._match("name", terms, 1.0 * (10 if at else 1), fuzzy=True))
+        # matchChannelName: phrase(name) MUST channel, boost 10 (query.go:182-189)
+        if is_channel is not None:
+            frames.append(self._gate(self._phrase("name", terms, 10.0), is_channel))
+        # matchTitle fuzzy boost 1 (query.go:130-134)
+        frames.append(self._match("title", terms, 1.0, fuzzy=True))
+        # matchPhraseTitle boost 10 (query.go:136-140)
+        frames.append(self._phrase("title", terms, 10.0))
+        # matchDescription boost 1, no fuzz (query.go:149-153)
+        frames.append(self._match("description", terms, 1.0, fuzzy=False))
+        # matchPhraseDescription boost 2 (query.go:155-159)
+        frames.append(self._phrase("description", terms, 2.0))
+        # matchCompressedName: match(name, compressed) fuzzy boost 10 MUST channel (query.go:191-200)
+        if is_channel is not None and compressed != s:
+            frames.append(
+                self._gate(self._match("name", comp_terms, 10.0, fuzzy=True), is_channel)
+            )
+        # matchChannel: match(channel) boost 5 MUST stream (query.go:202-209)
+        if is_stream is not None:
+            frames.append(self._gate(self._match("channel", terms, 5.0, fuzzy=False), is_stream))
+        # matchCompressedChannel: phrase(channel, compressed) boost 5 MUST stream (query.go:211-219)
+        if is_stream is not None and compressed != s:
+            frames.append(self._gate(self._phrase("channel", comp_terms, 5.0), is_stream))
+        return [f for f in frames if f is not None]
+
+    def _mlt(self, req: SearchRequest, terms: list[str]) -> DataFrame | None:
+        """more_like_this over name/title/channel (query.go:106-121)."""
+        boost = 1.0
+        if req.related_to is not None:
+            like = self._doc_like_terms(req.related_to)
+            boost = 2.0
+        else:
+            like = terms
+        frames = []
+        for logical in ("name", "title", "channel"):
+            if not self._has(logical):
+                continue
+            fname = getattr(self.fields, logical)
+            sel = expand.mlt_terms(self.index, fname, like)
+            if sel:
+                frames.append(search.match_terms(self.index, fname, sel, boost))
+        if not frames:
+            return None
+        return search.bool_should(frames)
+
+    def _doc_like_terms(self, claim_id: str) -> list[str]:
+        """Like-text terms for RelatedTo: the referenced doc's own
+        name/title/channel content (MLT LikeItems analogue)."""
+        if not self._has("claim_id"):
+            return []
+        row = self.docs.filter(self._col("claim_id") == claim_id).limit(1).collect()
+        if not row:
+            return []
+        r = row[0]
+        parts = []
+        for logical in ("name", "title", "channel"):
+            if self._has(logical):
+                v = r[getattr(self.fields, logical)]
+                if v:
+                    parts.append(str(v))
+        return self._terms(" ".join(parts))
+
+    # ---- filters (query.go:256-417) ---------------------------------------
+
+    def _filters(self, req: SearchRequest, s: str) -> Column:
+        cond = F.lit(True)
+        # bid_state != Expired — always on (query.go:386-388)
+        if self._has("bid_state"):
+            cond &= ~(self._col("bid_state") == "Expired")
+        if req.nsfw is not None and self._has("nsfw"):
+            flagged = self._col("nsfw")
+            if self._has("tags"):
+                flagged = flagged | F.arrays_overlap(
+                    self._col("tags"), F.array(*[F.lit(t) for t in NSFW_TAGS])
+                )
+            cond &= flagged if req.nsfw else ~flagged  # query.go:366-376
+        if req.free_only and self._has("fee"):
+            cond &= self._col("fee") == 0.0  # query.go:378-384
+        if req.content_type and self._has("content_type"):
+            cond &= self._col("content_type").isin(req.content_type.split(","))
+        if req.media_type is not None and self._has("content_type"):
+            parts = [t for t in req.media_type.split(",")]
+            sub = F.lit(False)
+            any_valid = False
+            for t in parts:
+                if t in MEDIA_TYPES and t != "cad":
+                    sub = sub | self._col("content_type").startswith(t + "/")
+                    any_valid = True
+                elif t == "cad":
+                    sub = sub | self._col("content_type").isin(list(CAD_TYPES))
+                    any_valid = True
+            # invalid media_type param → match none (query.go:279-281)
+            cond &= sub if any_valid else F.lit(False)
+        if req.claim_type and self._has("claim_type"):
+            mapped = {"channel": "channel", "file": "stream"}.get(req.claim_type)
+            if mapped:
+                cond &= self._col("claim_type") == mapped
+        if req.channel_id and self._has("channel_claim_id"):
+            cond &= self._col("channel_claim_id") == req.channel_id
+        if req.channel and self._has("channel"):
+            # query_string on channel (query.go:402-410): ≥1 shared token
+            qtoks = self._terms(req.channel)
+            chan_toks = F.split(F.lower(self._col("channel")), r"[^a-z0-9]+")
+            cond &= F.arrays_overlap(chan_toks, F.array(*[F.lit(t) for t in qtoks]))
+        if req.claim_id and self._has("claim_id"):
+            cond &= self._col("claim_id") == req.claim_id
+        if req.related_to and self._has("claim_type"):
+            cond &= self._col("claim_type") == "stream"  # query.go:347-352
+        return cond
+
+    def _exact_phrase_filter_ids(self, s: str) -> DataFrame | None:
+        """Quoted exact phrases → SHOULD-of-phrases used as a FILTER
+        (query.go:230-262): docs matching ≥1 phrase on ≥1 field."""
+        phrases = extract_quoted_phrases(s)
+        if not phrases:
+            return None
+        frames = []
+        for p in phrases:
+            toks = self._terms(p)
+            for logical in ("channel", "name", "title", "description"):
+                f = self._phrase(logical, toks, 1.0)
+                if f is not None:
+                    frames.append(f.select("doc_id"))
+        if not frames:
+            return None
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        return u.distinct()
+
+    # ---- doc-level boost columns (the 7 base SHOULD clauses) --------------
+
+    def _boost_col(self) -> Column:
+        b = F.lit(0.0)
+        if self._has("effective_amount"):  # func_score.go:24-32
+            b += scoring.log1p_factor(self._col("effective_amount"), scoring.FVF_FACTOR)
+        if self._has("certificate_amount"):  # func_score.go:34-42
+            b += scoring.log1p_factor(self._col("certificate_amount"), scoring.FVF_FACTOR)
+        if self._has("bid_state"):  # func_score.go:11-13
+            b += scoring.controlling_boost(self._col("bid_state"))
+        if self._has("thumbnail_url"):  # func_score.go:15-21
+            b += scoring.nonempty_boost(self._col("thumbnail_url"))
+        if self._has("view_cnt"):  # func_score.go:90-95
+            b += scoring.log1p_factor(self._col("view_cnt"))
+        if self._has("sub_cnt"):  # func_score.go:102-107
+            b += scoring.log1p_factor(self._col("sub_cnt"))
+        if self._has("claim_type") and self._has("claim_cnt"):  # func_score.go:97-100
+            b += scoring.claim_count_boost(self._col("claim_type"), self._col("claim_cnt"))
+        return b
+
+    def _decay_col(self) -> Column:
+        if not self._has("release_time"):
+            return F.lit(0.0)
+        return scoring.release_time_decay(
+            self._col("release_time").cast("double"), self.now_seconds
+        )
+
+    # ---- entry point -------------------------------------------------------
+
+    def search(self, req: SearchRequest, round_score: int | None = None) -> DataFrame:
+        req.validate()
+        s = special.rewrite(truncate_query(req.s))  # search.go:68-69
+        terms = self._terms(s)
+
+        if req.related_to is not None:
+            # RelatedTo branch (query.go:52-58): MLT only, filters, no
+            # boost-queries, no gauss decays.
+            mlt = self._mlt(req, terms)
+            if mlt is None:
+                scored = search._empty_scored(self.index)
+            else:
+                scored = mlt
+            docs_f = self.docs.filter(self._filters(req, s))
+            return self._page(scored, docs_f, req, round_score, add_boosts=False)
+
+        frames = self._min_set(req, s, terms)
+        if not frames:
+            scored = search._empty_scored(self.index)
+        else:
+            scored = search.bool_should(frames)  # min 1 should match
+
+        docs_f = self.docs.filter(self._filters(req, s))
+        exact_ids = self._exact_phrase_filter_ids(s)
+        if exact_ids is not None:
+            scored = scored.join(exact_ids, "doc_id", "left_semi")
+        return self._page(scored, docs_f, req, round_score, add_boosts=True)
+
+    def _page(
+        self,
+        scored: DataFrame,
+        docs_f: DataFrame,
+        req: SearchRequest,
+        round_score: int | None,
+        add_boosts: bool,
+    ) -> DataFrame:
+        d = docs_f
+        if add_boosts:
+            d = d.withColumn("_boost", self._boost_col() + self._decay_col())
+        else:
+            d = d.withColumn("_boost", F.lit(0.0))
+        s, dd = scored.alias("_s"), d.alias("_d")
+        joined = s.join(dd, F.col("_s.doc_id") == F.col(f"_d.{self._id}"), "inner")
+        total = (F.col("_s.score") + F.col("_d._boost")).alias("score")
+        cols = req.include or [c for c in self.docs.columns]
+        out = joined.select(
+            F.col("_s.doc_id").alias("doc_id") if self._id not in cols else F.col(f"_d.{self._id}"),
+            *[F.col(f"_d.{c}").alias(c) for c in cols if c != self._id],
+            total,
+        )
+        if round_score is not None:
+            out = out.withColumn("score", F.round("score", round_score))
+        tie = "doc_id" if "doc_id" in out.columns else self._id
+        if req.sort_by:
+            desc = req.sort_by.startswith("^")
+            fld = req.sort_by.lstrip("^")
+            order = [F.col(fld).desc() if desc else F.col(fld).asc(), F.col(tie).asc()]
+        else:
+            order = [F.col("score").desc(), F.col(tie).asc()]
+        out = out.orderBy(*order)
+        if req.from_:
+            from pyspark.sql import Window
+
+            w = Window.orderBy(*order)
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") > req.from_) & (F.col("_rn") <= req.from_ + req.size))
+                .drop("_rn")
+            )
+            return out
+        return out.limit(req.size)

@@ -1,0 +1,129 @@
+"""Term-expansion operators: prefix, fuzzy, more-like-this.
+
+These are the query-side features ES/Lucene executes via its term
+dictionary; ours is the `term_stats` table (sorted/partitionable by
+term — at scale an Iceberg table range-partitioned on term, so the
+prefix predicate prunes partitions; SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lighthouse_spark.operators import scoring
+from lighthouse_spark.plans.indexer import InvertedIndex
+
+MAX_EXPANSIONS = 50  # ref: /root/reference/app/actions/auto_complete.go:59-64
+
+
+def expand_prefix(
+    index: InvertedIndex, field: str, prefix: str, limit: int = MAX_EXPANSIONS
+) -> list[str]:
+    """Terms starting with ``prefix``, alphabetical, capped (Lucene
+    expands prefix queries in term-dictionary order up to
+    max_expansions — the ES 6.x default the reference relies on).
+
+    The range predicate (term >= p AND term < p+\\uffff) is sargable:
+    with a term-sorted persisted dictionary it becomes a partition-
+    pruned range scan, not a full vocabulary pass.
+    """
+    if not prefix:
+        return []
+    hi = prefix + "￿"
+    rows = (
+        index.term_stats.filter(
+            (F.col("field") == field) & (F.col("term") >= prefix) & (F.col("term") < hi)
+        )
+        .select("term")
+        .distinct()
+        .orderBy("term")
+        .limit(limit)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def _auto_fuzziness(term: str) -> int:
+    """ES Fuzziness("AUTO"): 0 edits for len 0-2, 1 for 3-5, 2 for >5.
+
+    Ref: query.go:131,177,194 rely on AUTO; bounds are the public ES
+    6.x AUTO definition.
+    """
+    n = len(term)
+    if n < 3:
+        return 0
+    if n <= 5:
+        return 1
+    return 2
+
+
+def expand_fuzzy(
+    index: InvertedIndex,
+    field: str,
+    term: str,
+    max_edits: int | None = None,
+    limit: int = MAX_EXPANSIONS,
+) -> list[str]:
+    """Edit-distance expansion against the term dictionary (Q4).
+
+    Candidate set is length-banded first (|len(t)-len(q)| <= d) —
+    cheap sargable-ish prefilter — then exact `levenshtein()` (built-in,
+    JVM-side). The exact term is always included if present.
+    """
+    d = _auto_fuzziness(term) if max_edits is None else max_edits
+    if d == 0:
+        return [term]
+    ln = len(term)
+    cand = index.term_stats.filter(
+        (F.col("field") == field)
+        & (F.length("term") >= ln - d)
+        & (F.length("term") <= ln + d)
+        & (F.levenshtein(F.col("term"), F.lit(term)) <= d)
+    )
+    rows = (
+        cand.select("term", F.levenshtein(F.col("term"), F.lit(term)).alias("ed"))
+        .distinct()
+        .orderBy("ed", "term")
+        .limit(limit)
+        .collect()
+    )
+    out = [r["term"] for r in rows]
+    if term not in out and any(r["ed"] == 0 for r in rows):
+        out.insert(0, term)
+    return out
+
+
+MLT_MAX_TERMS = 25
+MLT_STOP = {"https"}  # ref: query.go:118 StopWords("https")
+
+
+def mlt_terms(
+    index: InvertedIndex,
+    field: str,
+    like_terms: list[str],
+    max_terms: int = MLT_MAX_TERMS,
+) -> list[str]:
+    """more_like_this term selection (Q5; query.go:106-121): keep the
+    top-N "like" terms by tf·idf against the corpus, dropping the
+    stopword list. tf here is the term's frequency within the like
+    text; idf from term_stats."""
+    cand = sorted({t for t in like_terms if t not in MLT_STOP})
+    if not cand:
+        return []
+    n, _ = index.corpus_stats().get(field, (0, 1.0))
+    if n == 0:
+        return []
+    rows = (
+        index.term_stats.filter((F.col("field") == field) & F.col("term").isin(cand))
+        .select("term", "df")
+        .collect()
+    )
+    dfm = {r["term"]: int(r["df"]) for r in rows}
+    from collections import Counter
+
+    tfq = Counter(like_terms)
+    scored = [
+        (tfq[t] * scoring.idf_py(dfm[t], n), t) for t in cand if t in dfm and dfm[t] > 0
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _, t in scored[:max_terms]]

@@ -1,0 +1,131 @@
+"""Composite /search engine vs independent Python oracle (golden set).
+
+The golden query set covers the reference API surface (SURVEY.md §5):
+single term, multi-term OR (the reference smoke query), quoted exact
+phrase, @-prefixed channel intent, multi-word compressed name,
+filtered variants. Ranking must be identical: (doc_id order AND
+scores to 1e-9) — the "rank-identical" bar of the north_rule against
+our pinned spec.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lighthouse_spark.api.engine import SearchEngine
+from lighthouse_spark.api.request import SearchRequest, ValidationError
+from lighthouse_spark.plans.indexer import FieldSpec, build_index
+from lighthouse_spark.sources.claims import synthetic_claims
+from tests.oracle_composite import composite_search
+
+NOW = 1767225600.0
+N = 250
+
+
+@pytest.fixture(scope="module")
+def claims(spark):
+    return synthetic_claims(spark, N).cache()
+
+
+@pytest.fixture(scope="module")
+def claims_pd(claims):
+    return claims.toPandas()
+
+
+@pytest.fixture(scope="module")
+def engine(claims):
+    idx = build_index(
+        claims,
+        "doc_id",
+        {
+            "name": FieldSpec("name", positions=True),
+            "title": FieldSpec("title", positions=True),
+            "description": FieldSpec("description", positions=True),
+            "channel": FieldSpec("channel", positions=True),
+        },
+        mode="simple",
+    ).cache()
+    return SearchEngine(idx, now_seconds=NOW)
+
+
+GOLDEN = [
+    dict(s="interesting and amazing facts"),             # reference smoke query
+    dict(s="crypto"),                                     # single term
+    dict(s="science tutorial"),                           # multi-term OR
+    dict(s="@scishow"),                                   # @-channel intent
+    dict(s="crypto news", nsfw=False, free_only=True),    # filtered
+    dict(s="music daily", claim_type="file"),             # claim-type filter
+    dict(s="space history", nsfw=True),                   # nsfw-only
+]
+
+
+def _run_engine(engine, k=25, **kw):
+    req = SearchRequest(size=k, **kw)
+    rows = engine.search(req).select("doc_id", "score").collect()
+    return [(r["doc_id"], r["score"]) for r in rows]
+
+
+@pytest.mark.parametrize("kw", GOLDEN, ids=[g["s"] for g in GOLDEN])
+def test_search_rank_identical_to_oracle(engine, claims_pd, kw):
+    got = _run_engine(engine, k=25, **kw)
+    want = composite_search(claims_pd, now_seconds=NOW, **kw)[:25]
+    assert [g[0] for g in got] == [w[0] for w in want], "rank mismatch"
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-9)
+    assert got, f"vacuous golden query {kw}"
+
+
+def test_pagination_consistent(engine):
+    full = _run_engine(engine, k=20, s="crypto news")
+    p1 = _run_engine(engine, k=10, s="crypto news")
+    req = SearchRequest(s="crypto news", size=10, from_=10)
+    p2 = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(req).select("doc_id", "score").collect()
+    ]
+    assert full == p1 + p2
+
+
+def test_sort_by_field(engine):
+    req = SearchRequest(s="crypto", size=10, sort_by="^effective_amount")
+    rows = engine.search(req).select("effective_amount").collect()
+    vals = [r["effective_amount"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_quoted_phrase_is_filter(engine, claims_pd):
+    # results must contain the exact phrase in >=1 searchable field
+    req = SearchRequest(s='interesting "amazing facts"', size=25)
+    rows = engine.search(req).collect()
+    assert rows, "quoted-phrase query returned nothing"
+    for r in rows:
+        joined = " ".join(
+            str(r[f] or "") for f in ("channel", "name", "title", "description")
+        ).lower()
+        assert "amazing facts" in joined
+
+
+def test_validation_errors(engine):
+    with pytest.raises(ValidationError):
+        engine.search(SearchRequest(s="ab"))  # too short
+    with pytest.raises(ValidationError):
+        engine.search(SearchRequest(s="abc", size=20000))
+    with pytest.raises(ValidationError):
+        engine.search(SearchRequest(s="abc", from_=10000))
+
+
+def test_media_type_filter(engine):
+    req = SearchRequest(s="crypto news", size=25, media_type="video")
+    rows = engine.search(req).select("content_type").collect()
+    assert rows and all(r["content_type"].startswith("video/") for r in rows)
+    # invalid media type -> match none (query.go:279-281)
+    req2 = SearchRequest(s="crypto news", size=25, media_type="bogus")
+    assert engine.search(req2).count() == 0
+
+
+def test_related_to_branch(engine, claims_pd):
+    some = claims_pd[claims_pd.claim_type == "stream"].iloc[0]
+    req = SearchRequest(s="xxx", size=10, related_to=some["claim_id"])
+    rows = engine.search(req).collect()
+    # only streams, never the trivial empty
+    assert all(r["claim_type"] == "stream" for r in rows)
