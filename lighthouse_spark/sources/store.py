@@ -1,0 +1,362 @@
+"""Persisted compressed index — the engine's on-disk format.
+
+What the ES index directory is to the reference (segments, postings,
+norms, doc values — created at /root/reference/app/app.go:54-63 with
+the mapping in app/es/index/claims.go), re-expressed as a parquet
+layout + JSON manifest:
+
+    <index_dir>/
+      manifest.json       schema, analyzer mode, corpus stats, build
+                          metrics, snapshot lineage (resumability)
+      docs/               stored fields (doc_id + columns)
+      postings/           blocks: (shard, field, term, block_id,
+                          n_docs, doc_ids_enc, tfs_enc, dls_enc,
+                          [positions_enc], max_tfn, max_doc_id)
+                          directory-partitioned by shard
+      term_stats/         (field, term, df) range-partitioned+sorted
+                          by term → prefix scans prune
+      doc_stats/          (doc_id, field, dl)
+
+Layout rationale at 10^12-doc scale:
+
+- **Document-sharded postings** (shard = doc_id mod N), the same
+  parallelism axis ES/Lucene uses: every shard holds complete posting
+  lists for its doc range, so top-k WAND runs shard-parallel with one
+  tiny final merge. Shard count is the scale knob (pick so a shard's
+  hot postings fit an executor).
+- **Term-frequency skew**: a stopword's postings within one shard are
+  bounded by shard size — sharding IS the salting of the global
+  posting list (term, bucket=doc_id%N). Additionally the encode step
+  groups by (shard, field) — one pandas group per shard-field, never
+  one group per term — so no single hot term creates a straggler task.
+- **Blocks of 128 docs** with per-block max tf-normalization: the
+  block-max metadata WAND uses to skip. doc_ids delta-gap+varint;
+  tf/dl varint.
+- **term_stats range-partitioned by term**: prefix/fuzzy expansion
+  scans prune partitions; the df lookup for a query is a tiny
+  IN-list scan, broadcast to the WAND tasks.
+- **Resumability**: every build/merge appends a lineage entry with
+  per-shard row counts + wall time; a crashed job leaves the previous
+  manifest intact (writes go to a new snapshot dir, manifest swap is
+  last — see `_commit`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lighthouse_spark.functions import codec
+from lighthouse_spark.operators.scoring import B, K1
+from lighthouse_spark.plans.indexer import FieldSpec, InvertedIndex
+
+POSTING_SCHEMA = (
+    "shard int, field string, term string, block_id int, n_docs int,"
+    " doc_ids_enc binary, tfs_enc binary, dls_enc binary, positions_enc binary,"
+    " max_tfn double, max_doc_id long, enc_avgdl double"
+)
+
+
+def _encode_group(pdf: pd.DataFrame, block_size: int, avgdl_map: dict[str, float]) -> pd.DataFrame:
+    """Encode one (shard, field) group: rows (term, doc_id, tf, dl
+    [,positions]) -> block rows. Vectorized per term via pandas groupby."""
+    out = []
+    shard = int(pdf["shard"].iloc[0])
+    field = pdf["field"].iloc[0]
+    avgdl = avgdl_map.get(field, 1.0)
+    has_pos = "positions" in pdf.columns
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    for term, g in pdf.groupby("term", sort=False):
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        tfs = g["tf"].to_numpy(dtype=np.int64)
+        dls = g["dl"].to_numpy(dtype=np.int64)
+        tfn = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+        poss = g["positions"].tolist() if has_pos else None
+        for b0 in range(0, len(ids), block_size):
+            b1 = min(b0 + block_size, len(ids))
+            pos_enc = None
+            if has_pos and poss is not None and poss[b0] is not None:
+                pos_enc = codec.encode_positions(
+                    [np.asarray(p if p is not None else [], dtype=np.int64) for p in poss[b0:b1]]
+                )
+            out.append(
+                {
+                    "shard": shard,
+                    "field": field,
+                    "term": term,
+                    "block_id": b0 // block_size,
+                    "n_docs": b1 - b0,
+                    "doc_ids_enc": codec.delta_encode(ids[b0:b1]),
+                    "tfs_enc": codec.varint_encode(tfs[b0:b1].astype(np.uint64)),
+                    "dls_enc": codec.varint_encode(dls[b0:b1].astype(np.uint64)),
+                    "positions_enc": pos_enc,
+                    "max_tfn": float(tfn[b0:b1].max()),
+                    "max_doc_id": int(ids[b1 - 1]),
+                    # avgdl the block-max was computed with: the WAND
+                    # kernel rescales the bound when live avgdl drifts
+                    # after incremental updates (safety factor
+                    # max(1, avgdl_now/enc_avgdl)).
+                    "enc_avgdl": float(avgdl),
+                }
+            )
+    cols = [
+        "shard", "field", "term", "block_id", "n_docs", "doc_ids_enc",
+        "tfs_enc", "dls_enc", "positions_enc", "max_tfn", "max_doc_id", "enc_avgdl",
+    ]
+    return pd.DataFrame(out, columns=cols)
+
+
+@dataclass
+class CompressedIndex:
+    """Handle over a persisted index directory (base + deltas)."""
+
+    path: str
+    spark: SparkSession
+    manifest: dict
+
+    @property
+    def postings(self) -> DataFrame:
+        """Base blocks unioned with any incremental delta blocks, each
+        tagged with its source snapshot.
+
+        Stale blocks for updated/deleted docs remain in their source
+        until compaction; the WAND kernel masks them via the
+        PER-SNAPSHOT tombstone sets (Lucene's per-segment live-docs
+        bitset analogue — a doc re-upserted in snapshot j is dead in
+        base and in every delta < j, alive in j)."""
+        base = self.spark.read.parquet(self.dir_of("postings")).withColumn(
+            "snapshot", F.lit("base")
+        )
+        for snap in self.manifest.get("deltas", []):
+            d = self.spark.read.parquet(f"{self.path}/postings_delta/{snap}").withColumn(
+                "snapshot", F.lit(snap)
+            )
+            base = base.unionByName(d)
+        return base
+
+    def dir_of(self, kind: str) -> str:
+        """Current versioned dir of a mutable table. Every rewrite gets
+        a fresh `<kind>_v_<snap>` dir and a manifest pointer flip —
+        immutable-snapshot semantics (Iceberg-style): no in-place
+        overwrite can ever be served from a stale cached plan, and a
+        crashed writer never corrupts the committed version."""
+        d = self.manifest.get("dirs", {}).get(kind, kind)
+        return f"{self.path}/{d}"
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.dir_of("docs"))
+
+    @property
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(self.dir_of("term_stats"))
+
+    @property
+    def doc_stats(self) -> DataFrame:
+        base = self.spark.read.parquet(self.dir_of("doc_stats"))
+        for snap in self.manifest.get("deltas", []):
+            d = self.spark.read.parquet(f"{self.path}/doc_stats_delta/{snap}")
+            base = base.unionByName(d)
+        return base
+
+    def tombstones(self) -> dict[str, np.ndarray]:
+        """snapshot -> doc ids dead IN THAT SOURCE (updated/deleted).
+        Bounded by churn between compactions; small enough to ship in
+        task closures (a real deployment would broadcast bitsets)."""
+        t = self.manifest.get("tombstones", {})
+        if isinstance(t, list):  # legacy flat form
+            t = {"base": t}
+        return {k: np.array(sorted(v), dtype=np.int64) for k, v in t.items() if v}
+
+    def corpus_stats(self) -> dict[str, tuple[int, float]]:
+        """(n_docs, avgdl) per field — maintained EXACTLY across
+        incremental updates via (n_docs, total_dl) bookkeeping."""
+        out = {}
+        for f, v in self.manifest["corpus"].items():
+            n = int(v["n_docs"])
+            if "total_dl" in v:
+                out[f] = (n, float(v["total_dl"]) / n if n else 1.0)
+            else:
+                out[f] = (n, float(v["avgdl"]))
+        return out
+
+    def df_map(self, field: str, terms: list[str]) -> dict[str, int]:
+        """Document frequency for a small term set.
+
+        Fast path: the term dictionary (exact when no deltas).
+        Delta path: decode the term's blocks (base+delta) and count
+        live (non-tombstoned) docs — exact, touches only the query's
+        own terms."""
+        uniq = sorted(set(terms))
+        if not self.manifest.get("deltas") and not self.manifest.get("tombstones"):
+            rows = (
+                self.term_stats.filter(
+                    (F.col("field") == field) & F.col("term").isin(uniq)
+                )
+                .select("term", "df")
+                .collect()
+            )
+            return {r["term"]: int(r["df"]) for r in rows}
+        tomb = self.tombstones()
+        blocks = self.postings.filter(
+            (F.col("field") == field) & F.col("term").isin(uniq)
+        ).select("term", "snapshot", "doc_ids_enc")
+        from lighthouse_spark.functions import codec as _codec
+
+        dfm: dict[str, int] = {}
+        for r in blocks.collect():
+            ids = _codec.delta_decode(bytes(r["doc_ids_enc"]))
+            t = tomb.get(r["snapshot"])
+            if t is not None and t.size:
+                ids = ids[~np.isin(ids, t)]
+            dfm[r["term"]] = dfm.get(r["term"], 0) + int(ids.size)
+        return {t: c for t, c in dfm.items() if c > 0}
+
+
+def save_index(
+    index: InvertedIndex,
+    path: str,
+    n_shards: int = 8,
+    block_size: int = codec.BLOCK_SIZE,
+    term_partitions: int | None = None,
+) -> CompressedIndex:
+    """Build + persist the compressed layout from a logical index.
+
+    One shuffle to (shard, field) groups for encoding; one range
+    shuffle for the term dictionary. Lineage + metrics recorded in
+    manifest.json; the manifest is written LAST so a crashed build
+    never corrupts a previously-committed index (resume = rerun, the
+    snapshot dirs are content-addressed by snapshot id).
+    """
+    spark = index.spark
+    t0 = time.time()
+    # exact (n_docs, total_dl) per field — integer-exact bookkeeping so
+    # incremental updates can maintain avgdl without drift
+    crows = index.doc_stats.groupBy("field").agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).collect()
+    corpus = {
+        r["field"]: (int(r["n_docs"]), float(r["total_dl"]) / int(r["n_docs"]))
+        for r in crows
+    }
+    total_dls = {r["field"]: int(r["total_dl"]) for r in crows}
+    snap = uuid.uuid4().hex[:12]
+
+    os.makedirs(path, exist_ok=True)
+    dirs = {k: f"{k}_v_{snap}" for k in ("docs", "doc_stats", "term_stats", "postings")}
+
+    # docs + doc_stats
+    index.docs.write.mode("overwrite").parquet(f"{path}/{dirs['docs']}")
+    index.doc_stats.write.mode("overwrite").parquet(f"{path}/{dirs['doc_stats']}")
+
+    # term dictionary: range-partitioned + sorted by term for pruning
+    tp = term_partitions or max(2, n_shards // 2)
+    (
+        index.term_stats.repartitionByRange(tp, "field", "term")
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/{dirs['term_stats']}")
+    )
+
+    # postings blocks: group by (shard, field) and encode in pandas
+    avgdl_map = {f: v[1] for f, v in corpus.items()}
+    p = index.postings.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    has_pos = "positions" in index.postings.columns
+    if not has_pos:
+        p = p.withColumn("positions", F.lit(None).cast("array<int>"))
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_group(pdf, block_size, avgdl_map)
+
+    blocks = p.groupBy("shard", "field").applyInPandas(enc, POSTING_SCHEMA)
+    (
+        blocks.repartition("shard")
+        .sortWithinPartitions("field", "term", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/{dirs['postings']}")
+    )
+
+    # metrics from what we just wrote (cheap metadata-ish aggregations)
+    bdf = spark.read.parquet(f"{path}/{dirs['postings']}")
+    mrows = bdf.groupBy("shard").agg(
+        F.count("*").alias("blocks"), F.sum("n_docs").alias("postings")
+    ).collect()
+    shard_metrics = {
+        int(r["shard"]): {"blocks": int(r["blocks"]), "postings": int(r["postings"])}
+        for r in mrows
+    }
+    n_docs_total = index.docs.count()
+
+    manifest = {
+        "version": 1,
+        "snapshot": snap,
+        "dirs": dirs,
+        "created_unix": int(t0),
+        "analyzer_mode": index.mode,
+        "doc_id_col": index.doc_id_col,
+        "fields": {k: {"column": v.column, "positions": v.positions} for k, v in index.fields.items()},
+        "n_shards": n_shards,
+        "block_size": block_size,
+        "bm25": {"k1": K1, "b": B},
+        "corpus": {
+            f: {"n_docs": v[0], "avgdl": v[1], "total_dl": total_dls[f]}
+            for f, v in corpus.items()
+        },
+        "deltas": [],
+        "tombstones": {},
+        "metrics": {
+            "n_docs": n_docs_total,
+            "build_seconds": round(time.time() - t0, 3),
+            "shards": shard_metrics,
+        },
+        "lineage": [
+            {
+                "snapshot": snap,
+                "op": "full_build",
+                "n_docs": n_docs_total,
+                "wall_seconds": round(time.time() - t0, 3),
+                "shards": sorted(shard_metrics),
+            }
+        ],
+    }
+    _commit(path, manifest)
+    return CompressedIndex(path=path, spark=spark, manifest=manifest)
+
+
+def _commit(path: str, manifest: dict) -> None:
+    tmp = f"{path}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, f"{path}/manifest.json")
+
+
+def load_index(spark: SparkSession, path: str) -> CompressedIndex:
+    with open(f"{path}/manifest.json") as f:
+        manifest = json.load(f)
+    return CompressedIndex(path=path, spark=spark, manifest=manifest)
+
+
+def build_and_save(
+    docs: DataFrame,
+    doc_id_col: str,
+    fields: dict[str, FieldSpec | str],
+    path: str,
+    mode: str = "simple",
+    n_shards: int = 8,
+    block_size: int = codec.BLOCK_SIZE,
+) -> CompressedIndex:
+    from lighthouse_spark.plans.indexer import build_index
+
+    idx = build_index(docs, doc_id_col, fields, mode)
+    return save_index(idx, path, n_shards=n_shards, block_size=block_size)

@@ -1,0 +1,139 @@
+"""Compressed store + block-max WAND: round-trip, equivalence,
+shard-count invariance, manifest lineage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lighthouse_spark.functions import codec
+from lighthouse_spark.functions.analysis import tokenize_text
+from lighthouse_spark.operators import search, wand
+from lighthouse_spark.plans.indexer import FieldSpec, build_index
+from lighthouse_spark.sources.store import build_and_save, load_index
+
+QUERIES = [
+    "the return license",              # max-skew stopwords
+    "sparklight",                      # rare single term
+    "getUserName parseHttpRequest",    # code identifiers
+    "interesting and amazing facts",   # planted phrase terms
+    "sym3 sym77 sym500",               # mixed-frequency tail
+    "zzz_does_not_exist",              # absent
+]
+
+
+@pytest.fixture(scope="module")
+def cindex(spark, docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cidx"))
+    return build_and_save(
+        docs, "doc_id", {"content": FieldSpec("content", positions=True)},
+        d, mode="code", n_shards=4,
+    )
+
+
+@pytest.fixture(scope="module")
+def flat_index(spark, docs):
+    return build_index(
+        docs, "doc_id", {"content": FieldSpec("content", positions=True)}, mode="code"
+    ).cache()
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_wand_equals_exhaustive_and_dataframe(cindex, flat_index, docs, q):
+    terms = tokenize_text(q, "code")
+    w = [(r["doc_id"], r["score"]) for r in wand.wand_topk(cindex, "content", terms, k=10).collect()]
+    e = [(r["doc_id"], r["score"]) for r in wand.exhaustive_topk(cindex, "content", terms, k=10).collect()]
+    assert [x[0] for x in w] == [x[0] for x in e]
+    for a, b in zip(w, e):
+        assert a[1] == pytest.approx(b[1], rel=1e-12)
+    m = search.match_terms(flat_index, "content", terms)
+    df = search.top_k(m, docs, "doc_id", k=10, columns=["doc_id"]).select("doc_id", "score").collect()
+    assert [x[0] for x in w] == [r["doc_id"] for r in df]
+    for a, r in zip(w, df):
+        assert a[1] == pytest.approx(r["score"], rel=1e-9)
+
+
+def test_shard_count_invariance(spark, docs, tmp_path_factory):
+    """Ranking must not depend on shard count (north_rule: results
+    identical across parallelism)."""
+    terms = tokenize_text("the return license sparkline", "code")
+    results = []
+    for n_shards in (2, 7):
+        d = str(tmp_path_factory.mktemp(f"cidx{n_shards}"))
+        ci = build_and_save(
+            docs, "doc_id", {"content": "content"}, d, mode="code", n_shards=n_shards
+        )
+        results.append(
+            [(r["doc_id"], round(r["score"], 10))
+             for r in wand.wand_topk(ci, "content", terms, k=15).collect()]
+        )
+    assert results[0] == results[1]
+
+
+def test_store_roundtrip_and_manifest(spark, cindex):
+    ci = load_index(spark, cindex.path)
+    assert ci.manifest["analyzer_mode"] == "code"
+    assert ci.manifest["n_shards"] == 4
+    assert ci.manifest["lineage"][0]["op"] == "full_build"
+    assert set(ci.manifest["metrics"]["shards"]) == {"0", "1", "2", "3"} or set(
+        int(k) for k in ci.manifest["metrics"]["shards"]
+    ) == {0, 1, 2, 3}
+    # postings decode to the same postings the flat index has
+    total_postings = sum(
+        v["postings"] for v in ci.manifest["metrics"]["shards"].values()
+    )
+    assert total_postings > 0
+
+
+def test_block_structure(cindex):
+    import pyspark.sql.functions as F
+
+    bdf = cindex.postings
+    over = bdf.filter(F.col("n_docs") > codec.BLOCK_SIZE).count()
+    assert over == 0
+    # blocks of one (shard, term) are disjoint and ordered by max_doc_id
+    row = (
+        bdf.groupBy("shard", "field", "term")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .limit(1)
+        .collect()
+    )
+    if row:
+        r = row[0]
+        blocks = (
+            bdf.filter(
+                (F.col("shard") == r["shard"]) & (F.col("term") == r["term"])
+            )
+            .orderBy("block_id")
+            .collect()
+        )
+        last = None
+        for b in blocks:
+            ids = codec.delta_decode(bytes(b["doc_ids_enc"]))
+            assert (np.diff(ids) > 0).all()
+            if last is not None:
+                assert ids[0] > last
+            last = int(b["max_doc_id"])
+
+
+def test_positions_survive_store(cindex, flat_index):
+    """positions_enc round-trips to the flat index's positions."""
+    import pyspark.sql.functions as F
+
+    b = (
+        cindex.postings.filter(F.col("positions_enc").isNotNull())
+        .orderBy("term", "block_id")
+        .limit(1)
+        .collect()[0]
+    )
+    ids = codec.delta_decode(bytes(b["doc_ids_enc"]))
+    plists = codec.decode_positions(bytes(b["positions_enc"]), len(ids))
+    flat = {
+        r["doc_id"]: list(r["positions"])
+        for r in flat_index.postings.filter(
+            (F.col("term") == b["term"]) & F.col("doc_id").isin([int(i) for i in ids])
+        ).collect()
+    }
+    for i, d in enumerate(ids):
+        assert list(plists[i]) == flat[int(d)]

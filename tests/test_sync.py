@@ -1,0 +1,179 @@
+"""Incremental sync invariants.
+
+The gold invariant: after any sequence of upserts/deletes, WAND
+results over the live index (base + deltas + tombstones, exact
+bookkeeping) are IDENTICAL to a full rebuild over the same final
+document set. Compaction preserves results and clears deltas.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lighthouse_spark.functions.analysis import tokenize_text
+from lighthouse_spark.operators import wand
+from lighthouse_spark.plans.indexer import FieldSpec
+from lighthouse_spark.sources import sync
+from lighthouse_spark.sources.corpus import synthetic_corpus
+from lighthouse_spark.sources.store import build_and_save, load_index
+
+QUERIES = ["the return license", "sparklight", "interesting and amazing facts", "sym7 sym42"]
+FIELDS = {"content": FieldSpec("content", positions=False)}
+
+
+def _topk(ci, q, k=15):
+    terms = tokenize_text(q, "code")
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in wand.wand_topk(ci, "content", terms, k=k).collect()
+    ]
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    docs = synthetic_corpus(spark, 400)
+    ci = build_and_save(docs, "doc_id", FIELDS, str(tmp_path / "idx"), mode="code", n_shards=4)
+    return ci
+
+
+def _rebuild(spark, ci, tmp_path, name):
+    docs = ci.docs
+    staged = str(tmp_path / f"docs_{name}")
+    docs.write.mode("overwrite").parquet(staged)
+    return build_and_save(
+        spark.read.parquet(staged), "doc_id", FIELDS,
+        str(tmp_path / name), mode="code", n_shards=4,
+    )
+
+
+def test_upsert_update_delete_matches_rebuild(spark, base, tmp_path):
+    ci = base
+    docs = ci.docs.cache()
+    ids = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(30).collect()]
+
+    # updates: rewrite content of 10 existing docs
+    upd = (
+        docs.filter(F.col("doc_id").isin(ids[:10]))
+        .withColumn("content", F.concat(F.lit("freshterm updated "), F.col("content")))
+    )
+    # new docs
+    new = synthetic_corpus(spark, 40).filter(~F.col("doc_id").isin(ids)).limit(20)
+    new = spark.createDataFrame(new.toPandas().assign(
+        repo="orgX/new", path=lambda d: "new/" + d["path"]
+    ))
+    new = new.withColumn("doc_id", F.xxhash64("repo", "path", "commit")).select(docs.columns)
+    # deletes
+    dels = spark.createDataFrame([(i,) for i in ids[10:20]], "doc_id long")
+
+    ci = sync.apply_incremental(ci, upserts=upd.unionByName(new), delete_ids=dels)
+
+    # deleted gone / updated searchable
+    got = {d for d, _ in _topk(ci, "freshterm", k=30)}
+    assert got == set(ids[:10])
+    for q in QUERIES:
+        live = _topk(ci, q)
+        full = _topk(_rebuild(spark, ci, tmp_path, "rb1"), q)
+        assert live == full, f"incremental != rebuild for {q!r}"
+
+    # lineage + tombstones recorded
+    assert ci.manifest["lineage"][-1]["op"] == "incremental"
+    assert sum(len(v) for v in ci.manifest["tombstones"].values()) == 20
+
+
+def test_double_update_same_doc(spark, base, tmp_path):
+    ci = base
+    docs = ci.docs.cache()
+    target = docs.orderBy("doc_id").limit(1)
+    tid = target.collect()[0]["doc_id"]
+
+    v2 = target.withColumn("content", F.lit("alpha bravo charlie"))
+    ci = sync.apply_incremental(ci, upserts=v2)
+    v3 = target.withColumn("content", F.lit("alpha delta echo"))
+    ci = sync.apply_incremental(ci, upserts=v3)
+
+    # only the latest version is live
+    assert [d for d, _ in _topk(ci, "delta")] == [tid]
+    assert _topk(ci, "bravo") == []
+    for q in QUERIES:
+        assert _topk(ci, q) == _topk(_rebuild(spark, ci, tmp_path, "rb2"), q), q
+
+
+def test_compaction_preserves_results(spark, base, tmp_path):
+    ci = base
+    docs = ci.docs.cache()
+    ids = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(10).collect()]
+    upd = docs.filter(F.col("doc_id").isin(ids[:5])).withColumn(
+        "content", F.concat(F.lit("compactme "), F.col("content"))
+    )
+    dels = spark.createDataFrame([(i,) for i in ids[5:]], "doc_id long")
+    ci = sync.apply_incremental(ci, upserts=upd, delete_ids=dels)
+    before = {q: _topk(ci, q) for q in QUERIES}
+    ci = sync.compact(ci)
+    assert not ci.manifest.get("deltas")
+    assert not ci.manifest.get("tombstones")
+    for q in QUERIES:
+        assert _topk(ci, q) == before[q], q
+    assert ci.manifest["lineage"][-1]["op"] == "compaction"
+    ops = [e["op"] for e in ci.manifest["lineage"]]
+    assert ops[0] == "full_build" and "incremental" in ops
+
+
+def test_checkpointed_sync_cursor(spark, base, tmp_path):
+    ci = base
+    state_path = str(tmp_path / "syncstate.json")
+    docs = ci.docs.limit(5).cache()
+    src = (
+        docs.withColumn("id", F.monotonically_increasing_id() + 1)
+        .withColumn("modified_at", F.lit(100))
+        .withColumn("bid_state", F.when(F.col("id") == 1, "Spent").otherwise("Accepted"))
+        .withColumn("content", F.concat(F.lit("synced "), F.col("content")))
+    ).cache()
+    ci = sync.sync(ci, src, state_path, id_col="id", modified_col="modified_at")
+    st = sync.SyncState.load(state_path)
+    assert st.last_id == 5
+    # the Spent row was routed to delete, others re-upserted
+    synced = {d for d, _ in _topk(ci, "synced", k=10)}
+    spent_id = src.filter(F.col("bid_state") == "Spent").collect()[0]["doc_id"]
+    assert spent_id not in synced
+    assert len(synced) == 4
+
+
+def test_delete_blocked_with_channel_expansion(spark, tmp_path):
+    from lighthouse_spark.sources.claims import synthetic_claims
+
+    claims = synthetic_claims(spark, 150).cache()
+    ci = build_and_save(
+        claims, "doc_id", {"name": "name", "description": "description"},
+        str(tmp_path / "cidx"), mode="simple", n_shards=2,
+    )
+    chan = claims.filter(F.col("channel_claim_id").isNotNull()).limit(1).collect()[0]
+    n_chan_docs = claims.filter(
+        F.col("channel_claim_id") == chan["channel_claim_id"]
+    ).count()
+    blocked = spark.createDataFrame(
+        [(None, chan["channel_claim_id"])], "doc_id long, channel_claim_id string"
+    )
+    ci = sync.delete_blocked(ci, blocked)
+    tomb_total = sum(len(v) for v in ci.manifest["tombstones"].values())
+    assert tomb_total >= n_chan_docs
+    assert ci.docs.filter(F.col("channel_claim_id") == chan["channel_claim_id"]).count() == 0
+
+
+def test_apply_counts_partial_update(spark, tmp_path):
+    from lighthouse_spark.sources.claims import synthetic_claims
+
+    claims = synthetic_claims(spark, 100).cache()
+    ci = build_and_save(
+        claims, "doc_id", {"name": "name"}, str(tmp_path / "cidx2"), mode="simple", n_shards=2
+    )
+    some = [r["doc_id"] for r in claims.limit(3).collect()]
+    counts = spark.createDataFrame(
+        [(d, 999_999, 888) for d in some], "doc_id long, view_cnt long, sub_cnt long"
+    )
+    ci = sync.apply_counts(ci, counts)
+    rows = ci.docs.filter(F.col("doc_id").isin(some)).select("view_cnt", "sub_cnt").collect()
+    assert all(r["view_cnt"] == 999_999 and r["sub_cnt"] == 888 for r in rows)
+    # untouched docs keep their values; postings untouched (no deltas)
+    assert not ci.manifest.get("deltas")
+    assert ci.manifest["lineage"][-1]["op"] == "enrichment"
