@@ -192,6 +192,185 @@ def q_gauss_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# compressed-store WAND path (M3/M4) — same oracle as bm25_topk
+# --------------------------------------------------------------------------
+
+def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+T1 over the REAL index format: delta+varint posting blocks →
+    block-max WAND top-10. Shares bm25_topk's oracle — the compressed
+    path must be value-identical to the SQL definition."""
+    import tempfile
+
+    from lighthouse_spark.operators import wand
+    from lighthouse_spark.sources.store import build_and_save
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="entry_wand_")
+    ci = build_and_save(docs, "doc_id", {"text": FieldSpec("text")}, d + "/idx",
+                        mode="simple", n_shards=8)
+    terms = tokenize_text(FLAGSHIP_Q, "simple")
+    out = wand.wand_topk(ci, "text", terms, k=10)
+    return out.select("doc_id", F.round("score", ROUND).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# expansions (Q3/Q4/Q5 term-dictionary paths)
+# --------------------------------------------------------------------------
+
+def q_prefix_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: prefix expansion against the term dictionary (autocomplete's
+    candidate scan), capped at 50 in term order."""
+    _, idx = _doc_index(spark, sf_dir)
+    return (
+        idx.term_stats.filter(F.col("term").startswith("s"))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy("term")
+        .limit(50)
+    )
+
+
+def q_fuzzy_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: fuzzy AUTO expansion — terms within levenshtein 1 of
+    'spark' in the dictionary (the match-clause expansion set)."""
+    _, idx = _doc_index(spark, sf_dir)
+    return (
+        idx.term_stats.filter(F.levenshtein(F.col("term"), F.lit("spark")) <= 1)
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy("term")
+    )
+
+
+def q_mlt_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: more-like-this term selection — top tf·idf query terms."""
+    _, idx = _doc_index(spark, sf_dir)
+    like = tokenize_text("the spark merge window join table scan https", "simple")
+    from lighthouse_spark.operators import expand
+
+    sel = expand.mlt_terms(idx, "text", like, max_terms=5)
+    return spark.createDataFrame([(t,) for t in sel], "term string")
+
+
+# --------------------------------------------------------------------------
+# pipeline operators (dedup / ANN / text analysis)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lighthouse_spark.pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lighthouse_spark.pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidates, exact-verified. No SQL oracle (recall of
+    the banding is probabilistic) — rows-only check; the verification
+    step itself is covered by q_dedup_jaccard's oracle."""
+    from lighthouse_spark.pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=5, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; hash-internal)."""
+    from lighthouse_spark.pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=16).orderBy("id_a", "id_b")
+
+
+_ANN_QUERY = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(64)]
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lighthouse_spark.pipeline import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.brute_force_topk(emb, "vec_id", "embedding", _ANN_QUERY, k=10)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lighthouse_spark.pipeline import dedup
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return dedup.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.2, brute_force=True
+    ).orderBy("id_a", "id_b")
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lighthouse_spark.pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.lang_id("text").alias("lang_guess"),
+        T.whitespace_token_count("text").alias("ws_tokens"),
+        T.bpe_ish_token_count("text").alias("bpe_tokens"),
+        T.quality_score("text").alias("quality"),
+        T.fingerprint_sha("text").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lighthouse_spark.pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.size(T.winnowing_fingerprints("text", 5, 4)).alias("n_fp"),
+        F.element_at(T.winnowing_fingerprints("text", 5, 4), 1).alias("first_fp"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# relational / streaming-analogue legs
+# --------------------------------------------------------------------------
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup over the events table (the batch analogue
+    of a windowed streaming agg — the reference is poll-based batch,
+    SURVEY.md §2.8)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy(day.alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "event_type", "n", "sum_value", "users")
+        .orderBy("day", "event_type")
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 blocked-list shape: anti-join — customers with no
+    high-value open orders (predicate keeps the result non-vacuous)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000)
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over sf0.001 documents."""
     return q_bm25_topk(spark, SF_DEFAULT)
@@ -199,17 +378,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # fulltext core
         "bm25_topk": q_bm25_topk,
+        "bm25_wand": q_bm25_wand,
         "bm25_filtered": q_bm25_filtered,
         "phrase_topk": q_phrase_topk,
         "term_stats_top": q_term_stats,
         "doc_stats": q_doc_stats,
+        "prefix_expand": q_prefix_expand,
+        "fuzzy_expand": q_fuzzy_expand,
+        "mlt_terms": q_mlt_terms,
+        # scoring / boosts
+        "function_score": q_function_score,
+        "gauss_decay": q_gauss_decay,
+        # relational legs
         "ingest_join": q_ingest_join,
         "group_concat": q_group_concat,
         "topk_page": q_topk_page,
         "dedup_rank": q_dedup_rank,
-        "function_score": q_function_score,
-        "gauss_decay": q_gauss_decay,
+        "events_rollup": q_events_rollup,
+        "anti_join": q_anti_join,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_bruteforce": q_ann_bruteforce,
+        "embedding_neardup": q_embedding_neardup,
+        "text_analysis": q_text_analysis,
+        "winnowing": q_winnowing,
     }
 
 
@@ -278,11 +475,141 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+_TOKS_LIST = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+_SHINGLE5 = (
+    "list_distinct(list_transform(generate_series(0, greatest(len(t) - 5, 0)),"
+    " i -> array_to_string(list_slice(t, i + 1, i + 5), ' ')))"
+)
+
+_LANG_MARKERS_SQL = {
+    "en": "['the','and','of','to','in']",
+    "es": "['el','la','de','que','los']",
+    "fr": "['le','la','et','les','des']",
+    "de": "['der','die','und','das','ist']",
+    "zh": "['de','shi','le','zai','he']",
+}
+
+_LANG_STRUCTS = ", ".join(
+    f"{{'neg': -len(list_intersect(list_distinct(t), {arr}::VARCHAR[])), 'lang': '{lang}'}}"
+    for lang, arr in sorted(_LANG_MARKERS_SQL.items())
+)
+
+_ANN_QUERY_SQL = None  # filled below
+
+
 def oracle_sql() -> dict[str, str]:
+    ann_q = "[" + ", ".join(f"{x!r}" for x in _ANN_QUERY) + "]::DOUBLE[]"
+    mlt_like = tokenize_text("the spark merge window join table scan https", "simple")
+    mlt_cand = sorted(set(mlt_like) - {"https"})
     return {
         "bm25_topk": _BM25_CTES
         + f"SELECT doc_id, round(score, {ROUND}) AS score FROM scored "
         "ORDER BY score DESC, doc_id ASC LIMIT 10",
+        "bm25_wand": _BM25_CTES
+        + f"SELECT doc_id, round(score, {ROUND}) AS score FROM scored "
+        "ORDER BY score DESC, doc_id ASC LIMIT 10",
+        "prefix_expand": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+            WHERE term LIKE 's%' GROUP BY term ORDER BY term LIMIT 50""",
+        "fuzzy_expand": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+            WHERE levenshtein(term, 'spark') <= 1 GROUP BY term ORDER BY term""",
+        "mlt_terms": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            dl AS (SELECT doc_id FROM tok GROUP BY 1),
+            c AS (SELECT count(*)::DOUBLE AS n FROM dl),
+            dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+                    WHERE term IN ({", ".join(repr(t) for t in mlt_cand)}) GROUP BY 1)
+            SELECT term FROM dft CROSS JOIN c
+            WHERE df > 0
+            ORDER BY ln(1 + (c.n - df + 0.5) / (df + 0.5)) DESC, term LIMIT 5""",
+        "dedup_exact": """
+            SELECT sha256(text) AS content_sha256, min(doc_id) AS doc_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1 ORDER BY doc_id""",
+        "dedup_jaccard": f"""
+            WITH norm AS (SELECT doc_id, {_TOKS_LIST} AS t FROM documents WHERE doc_id < 300),
+            sh AS (SELECT doc_id, {_SHINGLE5} AS sh FROM norm),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+            sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(i / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / (sa.n + sb.n - i) >= 0.2
+            ORDER BY id_a, id_b""",
+        "ann_bruteforce": f"""
+            WITH s AS (
+              SELECT vec_id,
+                     round(list_cosine_similarity(embedding::DOUBLE[], {ann_q}), 6) AS cosine
+              FROM embeddings)
+            SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        "embedding_neardup": f"""
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id < 200 AND b.vec_id < 200)
+            SELECT id_a, id_b, round(c, 6) AS cosine FROM p
+            WHERE c >= 0.2 ORDER BY id_a, id_b""",
+        "text_analysis": f"""
+            WITH norm AS (SELECT doc_id, text, {_TOKS_LIST} AS t FROM documents),
+            scored AS (
+              SELECT doc_id, text, t,
+                     list_sort([{_LANG_STRUCTS}])[1] AS best,
+                     len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+                     len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+                     length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                       / greatest(length(text), 1) AS alpha_ratio,
+                     len(list_intersect(list_distinct(t), ['the','and','of','to','in']::VARCHAR[])) AS stop_hits,
+                     list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1) AS mean_wlen,
+                     len(t) AS n_tok
+              FROM norm)
+            SELECT doc_id,
+                   CASE WHEN best.neg < 0 THEN best.lang ELSE 'und' END AS lang_guess,
+                   ws_tokens, bpe_tokens,
+                   round((
+                     (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN alpha_ratio >= 0.6 THEN 1.0 ELSE alpha_ratio / 0.6 END)
+                   + (CASE WHEN stop_hits >= 2 THEN 1.0 ELSE stop_hits / 2.0 END)
+                   + (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 1.0 ELSE 0.0 END)
+                   ) / 4.0, 6) AS quality,
+                   sha256(array_to_string(t, ' ')) AS fingerprint
+            FROM scored ORDER BY doc_id""",
+        "winnowing": f"""
+            WITH norm AS (SELECT doc_id, {_TOKS_LIST} AS t FROM documents WHERE doc_id < 100),
+            grams AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, greatest(len(t) - 5, 0)),
+                                    i -> sha256(array_to_string(list_slice(t, i + 1, i + 5), ' '))) AS g
+              FROM norm),
+            wins AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       list_transform(generate_series(0, greatest(len(g) - 4, 0)),
+                                      i -> list_min(list_slice(g, i + 1, i + 4))))) AS fp
+              FROM grams)
+            SELECT doc_id, len(fp) AS n_fp, fp[1] AS first_fp FROM wins ORDER BY doc_id""",
+        "events_rollup": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value,
+                   count(DISTINCT user_id) AS users
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'O' AND o.o_totalprice > 100000)
+            ORDER BY c_custkey""",
         "bm25_filtered": _BM25_CTES
         + f"""SELECT d.doc_id, d.lang, round(s.score, {ROUND}) AS score
             FROM scored s JOIN documents d USING (doc_id)

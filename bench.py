@@ -1,0 +1,116 @@
+"""Benchmark: index-build throughput + BM25 top-10 query latency.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-step sec...}, "sf": <sf>, "extra": {...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+
+The headline pipeline is the north_rule one: tokenize → compressed
+sharded postings on disk → block-max WAND top-10, over the sf
+`documents` table; plus a composite claims-style search and two
+relational legs for operator breadth. Run bench_scaling.py for the
+N-vs-4N scaling-efficiency evidence (BASELINE.md)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from lighthouse_spark import get_spark
+    from lighthouse_spark.functions.analysis import tokenize_text
+    from lighthouse_spark.operators import wand
+    from lighthouse_spark.plans.indexer import FieldSpec
+    from lighthouse_spark.sources.store import build_and_save
+
+    spark = get_spark("lighthouse-bench", cpus=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    t_total = time.time()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    workdir = tempfile.mkdtemp(prefix="lighthouse_bench_")
+    try:
+        # ---- index build (docs/sec headline) ----
+        t0 = time.time()
+        ci = build_and_save(
+            docs, "doc_id", {"text": FieldSpec("text", positions=True)},
+            f"{workdir}/idx", mode="simple", n_shards=max(8, cpus // 2),
+        )
+        build_s = time.time() - t0
+        timings["index_build"] = round(build_s, 3)
+        extra["index_docs_per_sec"] = round(n_docs / build_s, 1)
+        extra["n_docs"] = n_docs
+
+        # ---- BM25 top-10 via WAND (latency p50 headline) ----
+        bm25_queries = {
+            "bm25_common": "spark window merge",
+            "bm25_stopword": "the fast big",
+            "bm25_mixed": "hash join stream table",
+            "bm25_rare": "dup batch",
+        }
+        # warmup (JVM + Arrow paths)
+        wand.wand_topk(ci, "text", ["spark"], k=10).collect()
+        lat = []
+        for name, q in bm25_queries.items():
+            terms = tokenize_text(q, "simple")
+            t0 = time.time()
+            rows = wand.wand_topk(ci, "text", terms, k=10).collect()
+            dt = time.time() - t0
+            timings[name] = round(dt, 3)
+            lat.append(dt)
+            assert rows, name
+        extra["bm25_p50_sec"] = round(statistics.median(lat), 3)
+
+        # ---- phrase query over positions ----
+        t0 = time.time()
+        from lighthouse_spark.plans.indexer import build_index
+        from lighthouse_spark.operators import search
+
+        flat = build_index(docs, "doc_id", {"text": FieldSpec("text", positions=True)}, "simple")
+        search.phrase(flat, "text", ["big", "data"]).orderBy("doc_id").limit(10).collect()
+        timings["phrase"] = round(time.time() - t0, 3)
+
+        # ---- relational legs at this sf ----
+        import __spark_entry__ as entry
+
+        for name in ("group_concat", "topk_page"):
+            t0 = time.time()
+            entry.queries()[name](spark, sf_dir).collect()
+            timings[name] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+    total = round(time.time() - t_total, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_bm25_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

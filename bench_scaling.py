@@ -1,0 +1,133 @@
+"""Scaling-efficiency evidence for the north_rule (N vs 4N).
+
+No real cluster exists in this sandbox, so per the driver's rule the
+two-cluster-size criterion is evidenced by running the IDENTICAL job
+at two parallelism levels on identical input: local[N] and local[4N].
+
+Job = the headline pipeline: synthesize the (repo,path,commit,lang,
+content) corpus → tokenize (code-aware) → build + persist compressed
+sharded postings → run the BM25 WAND query set. Corpus size is chosen
+so compute (tokenize/encode — the part that scales) dominates fixed
+driver overhead, which a real 4N-executor cluster would also amortize.
+
+Prints one JSON line and appends a row to BASELINE.md when run with
+--update-baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "80000"))
+N_SMALL = int(os.environ.get("SCALING_N", "8"))
+QUERIES = ["the return license", "getUserName parseHttpRequest", "sparklight", "sym7 sym42 merge"]
+
+# The WORK is identical at both levels: same corpus partitioning, same
+# shard count, same shuffle partitioning — only executor-thread count
+# differs (exactly what N-vs-4N executors changes on a real cluster).
+# One warmup build amortizes JVM/codegen warmup; best-of-2 timed runs
+# suppresses single-machine noise.
+_CHILD = r"""
+import json, sys, tempfile, time, shutil
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+from lighthouse_spark import get_spark
+from lighthouse_spark.sources.corpus import synthetic_corpus
+from lighthouse_spark.sources.store import build_and_save
+from lighthouse_spark.plans.indexer import FieldSpec
+from lighthouse_spark.operators import wand
+from lighthouse_spark.functions.analysis import tokenize_text
+
+spark = get_spark("scaling", cpus=cpus, shuffle_partitions=128)
+docs = synthetic_corpus(spark, n_docs, partitions=128).cache()
+docs.count()  # materialize input outside the timed window
+
+def one_build(tag):
+    d = tempfile.mkdtemp(prefix=f"scal{cpus}{tag}_")
+    t0 = time.time()
+    ci = build_and_save(docs, "doc_id", {"content": FieldSpec("content")}, d + "/idx",
+                        mode="code", n_shards=64)
+    return time.time() - t0, d, ci
+
+# warmup (JVM + codegen + python worker pool)
+_, dw, _ = one_build("w")
+shutil.rmtree(dw, ignore_errors=True)
+b1, d1, ci = one_build("a")
+b2, d2, ci2 = one_build("b")
+shutil.rmtree(d2, ignore_errors=True)
+build_s = min(b1, b2)
+qs = %QUERIES%
+res = {}
+t0 = time.time()
+for q in qs:
+    rows = wand.wand_topk(ci, "content", tokenize_text(q, "code"), k=10).collect()
+    res[q] = [(r["doc_id"], round(r["score"], 9)) for r in rows]
+query_s = time.time() - t0
+shutil.rmtree(d1, ignore_errors=True)
+spark.stop()
+print("CHILD:" + json.dumps({"cpus": cpus, "build_s": build_s, "query_s": query_s,
+                             "docs_per_sec": n_docs / build_s, "results": res}))
+"""
+
+
+def run_level(cpus: int) -> dict:
+    code = _CHILD.replace("%QUERIES%", repr(QUERIES))
+    p = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(N_DOCS)],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("CHILD:"):
+            return json.loads(line[6:])
+    raise RuntimeError(f"child local[{cpus}] failed:\n{p.stdout[-2000:]}\n{p.stderr[-4000:]}")
+
+
+def _best(a: dict, b: dict) -> dict:
+    return a if a["build_s"] <= b["build_s"] else b
+
+
+def main() -> None:
+    # interleave the two levels (N, 4N, N, 4N) and take each level's
+    # best run: single-machine background noise drifts on the minutes
+    # scale and would otherwise bias whichever level ran later
+    small = run_level(N_SMALL)
+    big = run_level(N_SMALL * 4)
+    small = _best(small, run_level(N_SMALL))
+    big = _best(big, run_level(N_SMALL * 4))
+    identical = small["results"] == big["results"]
+    eff = (big["docs_per_sec"] / small["docs_per_sec"]) / 4.0
+    out = {
+        "metric": "scaling_efficiency_build_throughput",
+        "n_docs": N_DOCS,
+        "levels": {
+            f"local[{N_SMALL}]": {
+                "build_s": round(small["build_s"], 2),
+                "docs_per_sec": round(small["docs_per_sec"], 1),
+                "query_s": round(small["query_s"], 2),
+            },
+            f"local[{N_SMALL * 4}]": {
+                "build_s": round(big["build_s"], 2),
+                "docs_per_sec": round(big["docs_per_sec"], 1),
+                "query_s": round(big["query_s"], 2),
+            },
+        },
+        "efficiency": round(eff, 3),
+        "rank_identical_across_levels": identical,
+    }
+    print(json.dumps(out))
+    if "--update-baseline" in sys.argv:
+        row = (
+            f"| measured {time.strftime('%Y-%m-%d')} | {N_DOCS} docs | "
+            f"local[{N_SMALL}]: {out['levels'][f'local[{N_SMALL}]']['docs_per_sec']} docs/s | "
+            f"local[{N_SMALL*4}]: {out['levels'][f'local[{N_SMALL*4}]']['docs_per_sec']} docs/s | "
+            f"efficiency {out['efficiency']} | rank-identical: {identical} |\n"
+        )
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md"), "a") as f:
+            f.write(row)
+
+
+if __name__ == "__main__":
+    main()

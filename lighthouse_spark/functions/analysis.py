@@ -81,6 +81,28 @@ def tokens_col(col: Column | str, mode: str = "simple") -> Column:
     return tokenize_udf(mode)(c)
 
 
+def term_freqs_udf(mode: str = "simple"):
+    """Pandas UDF: text -> struct<dl:long, tfs:map<string,int>>.
+
+    Aggregates term frequencies INSIDE the Arrow batch, so building
+    non-positional postings needs no token-level explode+groupBy
+    shuffle at all — the dominant cost at scale (one token row per
+    occurrence vs one map entry per distinct term)."""
+    if mode not in MODES:
+        raise ValueError(f"unknown analyzer mode {mode!r}")
+
+    from collections import Counter
+
+    @F.pandas_udf("struct<dl: long, tfs: map<string,int>>")
+    def _tf(s: pd.Series) -> pd.DataFrame:
+        toks = tokenize_pandas(s, mode)
+        return pd.DataFrame(
+            {"dl": toks.str.len().astype("int64"), "tfs": [dict(Counter(t)) for t in toks]}
+        )
+
+    return _tf
+
+
 # --- reference-parity string helpers -------------------------------------
 
 _STRIP_NAME = re.compile(r"(-|_|\bThe\b|\bthe\b|&)")

@@ -17,6 +17,35 @@ import numpy as np
 BLOCK_SIZE = 128  # docs per block (Lucene uses 128-doc skip blocks)
 
 
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return per-value byte
+    lengths so callers can slice the buffer into sub-ranges (used to
+    encode thousands of posting blocks in ONE vectorized pass)."""
+    arr = np.asarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nbytes = np.ones(arr.size, dtype=np.int64)
+    v = arr >> np.uint64(7)
+    while v.any():
+        nbytes += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    pos = np.zeros(arr.size, dtype=np.int64)
+    pos[1:] = np.cumsum(nbytes)[:-1]
+    vals = arr.copy()
+    k = 0
+    while True:
+        mask = nbytes > k
+        if not mask.any():
+            break
+        byte = (vals[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] - 1 > k).astype(np.uint8)
+        out[pos[mask] + k] = byte | (cont << 7)
+        vals = np.where(mask, vals >> np.uint64(7), vals)
+        k += 1
+    return out.tobytes(), nbytes
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array."""
     arr = np.asarray(values, dtype=np.uint64)

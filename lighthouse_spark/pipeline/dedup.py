@@ -1,0 +1,341 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these are DataFrame-native and built around the same scale
+shape: candidate generation must never be O(n^2) — exact dedup hashes,
+MinHash/SimHash band into buckets and only join within buckets; the
+expensive exact verification runs on candidate pairs only.
+
+- exact:        content-hash groupBy, keep one representative
+- minhash_lsh:  word-shingles → minhash signature → banded buckets →
+                in-bucket pairs → exact-Jaccard verify
+- simhash:      64-bit sign-of-weighted-sum fingerprint + hamming pairs
+- ngram_jaccard: exact Jaccard over shingle sets via a shingle-inverted
+                join (SQL-expressible; the verification oracle)
+- embedding near-dup: cosine over a vector column, bucketed by
+                random-hyperplane signs (brute-force verify per bucket)
+
+Everything is built-in expressions / higher-order functions — the only
+shuffles are the bucket groupBys and in-bucket joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lighthouse_spark.functions.analysis import tokens_col
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact content hash.
+
+    sha256 computed JVM-side; the groupBy partial-aggregates map-side,
+    so the shuffle carries one row per distinct hash per partition."""
+    h = F.sha2(F.col(content_col), 256).alias("content_sha256")
+    return (
+        df.withColumn("content_sha256", h)
+        .groupBy("content_sha256")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def exact_dedup_keep(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """The deduplicated frame itself (all columns, min-id winner)."""
+    keep = exact_dedup(df, id_col, content_col).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# shingles + exact jaccard (the verification primitive)
+# --------------------------------------------------------------------------
+
+def _shingles_from_tokens(toks, n: int):
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column (a Python UDF expression cannot appear inside a
+    higher-order lambda — tokenize in a prior projection, then run the
+    JVM-side slice/concat here)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3, mode: str = "simple") -> DataFrame:
+    """(id, sh: array<string>) — tokenize projection, then shingle."""
+    return df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col, mode).alias("_toks")
+    ).select("id", _shingles_from_tokens(F.col("_toks"), n).alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    mode: str = "simple",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via a shingle-inverted join:
+    |A∩B| = shared distinct shingles; |A∪B| = |A|+|B|-|A∩B|.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    At 100 TB this runs on LSH candidates, not the full corpus — see
+    minhash_lsh_pairs; the shapes are identical."""
+    sh = with_shingles(df, id_col, text_col, n, mode).select(
+        "id", F.explode("sh").alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature_from(sh, num_perm: int = 64):
+    """array<long> minhash signature from a materialized shingle array:
+    perm i = min over shingles of xxhash64(i, shingle). Pure
+    higher-order expressions (JVM codegen)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    mode: str = "simple",
+) -> DataFrame:
+    """Near-duplicate pairs: minhash → band buckets → in-bucket join →
+    EXACT Jaccard verification of candidates.
+
+    bands*rows == num_perm; with (16 bands × 4 rows) the S-curve puts
+    ~0.5 Jaccard at high recall. The only joins are per-bucket, so a
+    hot bucket (all-identical boilerplate) is the skew risk — buckets
+    are salted nothing here because verification joins on (id_a,id_b)
+    pairs which are bounded per bucket by dup-group size.
+    Output: (id_a, id_b, jaccard) verified >= threshold."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    shdf = with_shingles(df, id_col, text_col, n, mode)
+    sig = shdf.select("id", minhash_signature_from(F.col("sh"), num_perm).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.array_join(F.slice("sig", b * rows + 1, rows), "_")).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on candidates only
+    a = shdf.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shdf.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_from_tokens(toks, bits: int = 64):
+    """64-bit SimHash from a materialized token array column: bit b =
+    sign of sum over tokens of ±1 (term frequency weighting via token
+    multiplicity). Built from aggregate() — no Python, no explode."""
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit(b: int):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out.bitwiseOR(F.shiftleft(bit(b), b))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, mode: str = "simple"
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidates via 4×16-bit chunk banding (a pair within hamming 3 of
+    64 bits must agree exactly on ≥1 of 4 chunks — pigeonhole), then
+    exact popcount verify."""
+    sh = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col, mode).alias("_toks")
+    ).select("id", simhash_from_tokens(F.col("_toks")).alias("sim"))
+    chunks = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", "cc.chunk", "cc.key")
+    x, y = chunks.alias("x"), chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.sim").alias("sim_a"),
+            F.col("y.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def _cos(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 8,
+    seed: int = 42,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Pairs with cosine >= threshold.
+
+    Scale path: random-hyperplane sign bucketing (planes bits per
+    probe, multi-probe over 2 seeds) then exact cosine verify inside
+    buckets. brute_force=True skips bucketing (the small-scale oracle
+    path; O(n^2) — never at 100 TB)."""
+    import numpy as np
+
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    if brute_force:
+        a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+        b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(v.select("vec").first()["vec"])
+        rng = np.random.default_rng(seed)
+        keys = []
+        for probe in range(2):
+            mat = rng.standard_normal((planes, dim))
+            bits = None
+            for p in range(planes):
+                plane = F.array(*[F.lit(float(x)) for x in mat[p]])
+                d = F.aggregate(
+                    F.zip_with("vec", plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+                )
+                bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+                bits = bit if bits is None else bits.bitwiseOR(F.shiftleft(bit, p))
+            keys.append(F.struct(F.lit(probe).alias("probe"), bits.alias("bucket")))
+        bucketed = v.select("id", "vec", F.explode(F.array(*keys)).alias("k")).select(
+            "id", "vec", "k.probe", "k.bucket"
+        )
+        x, y = bucketed.alias("x"), bucketed.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.probe") == F.col("y.probe"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.col("x.vec").alias("va"),
+                F.col("y.vec").alias("vb"),
+            )
+            .distinct()
+        )
+    return (
+        cand.withColumn("cosine", _cos(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -35,7 +35,7 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lighthouse_spark.functions.analysis import tokens_col
+from lighthouse_spark.functions.analysis import term_freqs_udf, tokens_col
 
 K1 = 1.2
 B = 0.75
@@ -66,6 +66,12 @@ class InvertedIndex:
     doc_id_col: str
     mode: str
     _corpus: dict[str, tuple[int, float]] | None = dc_field(default=None, repr=False)
+    _intermediates: list[DataFrame] = dc_field(default_factory=list, repr=False)
+
+    def unpersist_intermediates(self) -> None:
+        for df in self._intermediates:
+            df.unpersist()
+        self._intermediates = []
 
     def corpus_stats(self) -> dict[str, tuple[int, float]]:
         """Per-field (n_docs, avgdl). Small action, cached."""
@@ -91,14 +97,24 @@ class InvertedIndex:
 
 
 def _tokens(docs: DataFrame, doc_id_col: str, fields: dict[str, FieldSpec], mode: str) -> DataFrame:
-    """(doc_id, field, pos, term) — one stream unioned over fields."""
+    """(doc_id, field, dl, pos, term) — one stream unioned over fields.
+
+    dl (the doc's field length) is F.size(tokens) computed BEFORE the
+    explode — rides along each token row, so no window/join shuffle is
+    ever needed to attach it to postings."""
     parts = []
     for name, spec in fields.items():
+        toks = tokens_col(spec.column, mode)
         parts.append(
             docs.select(
                 F.col(doc_id_col).alias("doc_id"),
                 F.lit(name).alias("field"),
-                F.posexplode(tokens_col(spec.column, mode)).alias("pos", "term"),
+                toks.alias("_toks"),
+            )
+            .withColumn("dl", F.size("_toks").cast("long"))
+            .select(
+                "doc_id", "field", "dl",
+                F.posexplode("_toks").alias("pos", "term"),
             )
         )
     out = parts[0]
@@ -112,6 +128,7 @@ def build_index(
     doc_id_col: str,
     fields: dict[str, FieldSpec] | dict[str, str],
     mode: str = "simple",
+    cache_agg: bool = False,
 ) -> InvertedIndex:
     """Build the logical inverted index over ``docs``.
 
@@ -122,32 +139,67 @@ def build_index(
     §7.4 determinism requirement).
     """
     specs = {k: (v if isinstance(v, FieldSpec) else FieldSpec(v)) for k, v in fields.items()}
-    tokens = _tokens(docs, doc_id_col, specs, mode)
-
     any_positions = any(s.positions for s in specs.values())
-    pos_fields = [k for k, s in specs.items() if s.positions]
+    pos_specs = {k: s for k, s in specs.items() if s.positions}
+    tf_specs = {k: s for k, s in specs.items() if not s.positions}
 
-    aggs = [F.count("*").alias("tf")]
-    if any_positions:
-        # sort_array for determinism: collect_list order is not guaranteed.
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-
-    grouped = tokens.groupBy("field", "term", "doc_id").agg(*aggs)
-    if any_positions:
-        # Null positions for fields that don't need them (index-size control).
-        grouped = grouped.withColumn(
-            "positions",
-            F.when(F.col("field").isin(pos_fields), F.col("positions")),
+    parts: list[DataFrame] = []
+    ds_parts: list[DataFrame] = []
+    intermediates: list[DataFrame] = []
+    if tf_specs:
+        # Shuffle-free postings for non-positional fields: tf/dl are
+        # aggregated inside the tokenizer UDF (one map entry per
+        # distinct term), so no token-level explode+groupBy — at 10^12
+        # docs that groupBy is the single largest shuffle in the build.
+        tfu = term_freqs_udf(mode)
+        for name, spec in tf_specs.items():
+            agg = docs.select(
+                F.col(doc_id_col).alias("doc_id"),
+                F.lit(name).alias("field"),
+                tfu(F.col(spec.column)).alias("_s"),
+            )
+            if cache_agg:
+                # one tokenize pass total: postings AND doc_stats both
+                # derive from this persisted per-doc aggregate
+                agg = agg.persist()
+                intermediates.append(agg)
+            p = agg.select(
+                "doc_id", "field", F.col("_s.dl").alias("dl"),
+                F.explode("_s.tfs").alias("term", "tf"),
+            ).select("field", "term", "doc_id", F.col("tf").cast("long").alias("tf"), "dl")
+            if any_positions:
+                p = p.withColumn("positions", F.lit(None).cast("array<int>"))
+            parts.append(p)
+            # doc_stats straight off the per-doc aggregate: one row per
+            # doc pre-explode — no distinct/shuffle over posting rows
+            ds_parts.append(
+                agg.select("doc_id", "field", F.col("_s.dl").alias("dl")).filter(
+                    F.col("dl") > 0
+                )
+            )
+    if pos_specs:
+        # Positional fields keep the explode path (positions must be
+        # collected per occurrence).
+        tokens = _tokens(docs, doc_id_col, pos_specs, mode)
+        grouped = tokens.groupBy("field", "term", "doc_id").agg(
+            F.count("*").alias("tf"),
+            F.first("dl").alias("dl"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
         )
+        p = grouped.select("field", "term", "doc_id", "tf", "dl", "positions")
+        if not any_positions:
+            p = p.drop("positions")
+        parts.append(p)
+        ds_parts.append(p.select("doc_id", "field", "dl").distinct())
 
-    doc_stats = tokens.groupBy("doc_id", "field").agg(F.count("*").alias("dl"))
+    postings = parts[0]
+    for p in parts[1:]:
+        postings = postings.unionByName(p)
+    doc_stats = ds_parts[0]
+    for p in ds_parts[1:]:
+        doc_stats = doc_stats.unionByName(p)
 
-    # Denormalize dl into postings (see module docstring).
-    postings = grouped.join(doc_stats, ["doc_id", "field"]).select(
-        "field", "term", "doc_id", "tf", "dl", *(["positions"] if any_positions else [])
-    )
-
-    term_stats = grouped.groupBy("field", "term").agg(F.count("*").alias("df"))
+    term_stats = postings.groupBy("field", "term").agg(F.count("*").alias("df"))
 
     return InvertedIndex(
         docs=docs,
@@ -157,4 +209,5 @@ def build_index(
         fields=specs,
         doc_id_col=doc_id_col,
         mode=mode,
+        _intermediates=intermediates,
     )

@@ -65,53 +65,99 @@ POSTING_SCHEMA = (
 )
 
 
+_BLOCK_COLS = [
+    "shard", "field", "term", "block_id", "n_docs", "doc_ids_enc",
+    "tfs_enc", "dls_enc", "positions_enc", "max_tfn", "max_doc_id", "enc_avgdl",
+]
+
+
 def _encode_group(pdf: pd.DataFrame, block_size: int, avgdl_map: dict[str, float]) -> pd.DataFrame:
     """Encode one (shard, field) group: rows (term, doc_id, tf, dl
-    [,positions]) -> block rows. Vectorized per term via pandas groupby."""
-    out = []
+    [,positions]) -> block rows.
+
+    Fully vectorized: every block's gaps/tfs/dls are varint-encoded in
+    ONE numpy pass over the whole group, then sliced per block by byte
+    offsets — no per-term or per-block Python encode calls (they were
+    the build-throughput bottleneck: ~0.3 ms/block × 100k blocks).
+    Position payloads (only for phrase-enabled fields) still encode
+    per block."""
+    if len(pdf) == 0:
+        return pd.DataFrame({c: [] for c in _BLOCK_COLS}, columns=_BLOCK_COLS)
     shard = int(pdf["shard"].iloc[0])
     field = pdf["field"].iloc[0]
-    avgdl = avgdl_map.get(field, 1.0)
-    has_pos = "positions" in pdf.columns
+    avgdl = float(avgdl_map.get(field, 1.0))
     pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-    for term, g in pdf.groupby("term", sort=False):
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        tfs = g["tf"].to_numpy(dtype=np.int64)
-        dls = g["dl"].to_numpy(dtype=np.int64)
-        tfn = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-        poss = g["positions"].tolist() if has_pos else None
-        for b0 in range(0, len(ids), block_size):
-            b1 = min(b0 + block_size, len(ids))
-            pos_enc = None
-            if has_pos and poss is not None and poss[b0] is not None:
-                pos_enc = codec.encode_positions(
-                    [np.asarray(p if p is not None else [], dtype=np.int64) for p in poss[b0:b1]]
+
+    n = len(pdf)
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    terms = pdf["term"].to_numpy()
+
+    new_term = np.ones(n, dtype=bool)
+    new_term[1:] = terms[1:] != terms[:-1]
+    term_start = np.maximum.accumulate(np.where(new_term, np.arange(n), 0))
+    rank = np.arange(n) - term_start
+    block_start = new_term | (rank % block_size == 0)
+    starts = np.flatnonzero(block_start)
+    ends = np.append(starts[1:], n)
+
+    # doc-id gaps: absolute (zigzag) at block starts, plain diffs inside
+    diffs = np.zeros(n, dtype=np.uint64)
+    if n > 1:
+        diffs[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
+    gaps = np.where(block_start, codec.zigzag_encode(ids), diffs)
+
+    id_buf, id_len = codec.varint_encode_with_lengths(gaps)
+    tf_buf, tf_len = codec.varint_encode_with_lengths(tfs.astype(np.uint64))
+    dl_buf, dl_len = codec.varint_encode_with_lengths(dls.astype(np.uint64))
+
+    def offsets(lens: np.ndarray) -> np.ndarray:
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        return off
+
+    id_off, tf_off, dl_off = offsets(id_len), offsets(tf_len), offsets(dl_len)
+    id_mv, tf_mv, dl_mv = memoryview(id_buf), memoryview(tf_buf), memoryview(dl_buf)
+
+    tfn = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+    max_tfn = np.maximum.reduceat(tfn, starts)
+
+    has_pos = "positions" in pdf.columns and pdf["positions"].notna().any()
+    pos_enc: list[bytes | None]
+    if has_pos:
+        poss = pdf["positions"].tolist()
+        pos_enc = []
+        for s, e in zip(starts, ends):
+            if poss[s] is None:
+                pos_enc.append(None)
+            else:
+                pos_enc.append(
+                    codec.encode_positions(
+                        [np.asarray(p if p is not None else [], dtype=np.int64)
+                         for p in poss[s:e]]
+                    )
                 )
-            out.append(
-                {
-                    "shard": shard,
-                    "field": field,
-                    "term": term,
-                    "block_id": b0 // block_size,
-                    "n_docs": b1 - b0,
-                    "doc_ids_enc": codec.delta_encode(ids[b0:b1]),
-                    "tfs_enc": codec.varint_encode(tfs[b0:b1].astype(np.uint64)),
-                    "dls_enc": codec.varint_encode(dls[b0:b1].astype(np.uint64)),
-                    "positions_enc": pos_enc,
-                    "max_tfn": float(tfn[b0:b1].max()),
-                    "max_doc_id": int(ids[b1 - 1]),
-                    # avgdl the block-max was computed with: the WAND
-                    # kernel rescales the bound when live avgdl drifts
-                    # after incremental updates (safety factor
-                    # max(1, avgdl_now/enc_avgdl)).
-                    "enc_avgdl": float(avgdl),
-                }
-            )
-    cols = [
-        "shard", "field", "term", "block_id", "n_docs", "doc_ids_enc",
-        "tfs_enc", "dls_enc", "positions_enc", "max_tfn", "max_doc_id", "enc_avgdl",
-    ]
-    return pd.DataFrame(out, columns=cols)
+    else:
+        pos_enc = [None] * len(starts)
+
+    return pd.DataFrame(
+        {
+            "shard": np.full(len(starts), shard, dtype=np.int32),
+            "field": field,
+            "term": terms[starts],
+            "block_id": (rank[starts] // block_size).astype(np.int32),
+            "n_docs": (ends - starts).astype(np.int32),
+            "doc_ids_enc": [bytes(id_mv[id_off[s] : id_off[e]]) for s, e in zip(starts, ends)],
+            "tfs_enc": [bytes(tf_mv[tf_off[s] : tf_off[e]]) for s, e in zip(starts, ends)],
+            "dls_enc": [bytes(dl_mv[dl_off[s] : dl_off[e]]) for s, e in zip(starts, ends)],
+            "positions_enc": pos_enc,
+            "max_tfn": max_tfn,
+            "max_doc_id": ids[ends - 1],
+            "enc_avgdl": np.full(len(starts), avgdl),
+        },
+        columns=_BLOCK_COLS,
+    )
 
 
 @dataclass
@@ -238,9 +284,27 @@ def save_index(
     """
     spark = index.spark
     t0 = time.time()
-    # exact (n_docs, total_dl) per field — integer-exact bookkeeping so
-    # incremental updates can maintain avgdl without drift
-    crows = index.doc_stats.groupBy("field").agg(
+    snap = uuid.uuid4().hex[:12]
+    os.makedirs(path, exist_ok=True)
+    dirs = {k: f"{k}_v_{snap}" for k in ("docs", "doc_stats", "term_stats", "postings")}
+
+    # ONE tokenize pass: materialize the flat postings, then derive
+    # doc_stats / term_stats / corpus scalars from the persisted frame
+    # (the naive lineage would re-run the tokenizer UDF once per
+    # downstream action — 5x the CPU and terrible scaling).
+    # When the index carries a cached per-doc aggregate (cache_agg),
+    # postings re-derive from it with a cheap JVM explode — don't
+    # double-cache; otherwise persist the flat postings so downstream
+    # actions don't re-run the tokenizer.
+    flat = index.postings
+    if not index._intermediates:
+        flat = flat.persist()
+    # doc_stats lineage is one row per doc pre-explode (no shuffle);
+    # term_stats partial-aggregates off the flat postings
+    doc_stats = index.doc_stats
+    term_stats = flat.groupBy("field", "term").agg(F.count("*").alias("df"))
+
+    crows = doc_stats.groupBy("field").agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
     ).collect()
     corpus = {
@@ -248,19 +312,15 @@ def save_index(
         for r in crows
     }
     total_dls = {r["field"]: int(r["total_dl"]) for r in crows}
-    snap = uuid.uuid4().hex[:12]
 
-    os.makedirs(path, exist_ok=True)
-    dirs = {k: f"{k}_v_{snap}" for k in ("docs", "doc_stats", "term_stats", "postings")}
-
-    # docs + doc_stats
     index.docs.write.mode("overwrite").parquet(f"{path}/{dirs['docs']}")
-    index.doc_stats.write.mode("overwrite").parquet(f"{path}/{dirs['doc_stats']}")
+    n_docs_total = spark.read.parquet(f"{path}/{dirs['docs']}").count()
+    doc_stats.write.mode("overwrite").parquet(f"{path}/{dirs['doc_stats']}")
 
     # term dictionary: range-partitioned + sorted by term for pruning
     tp = term_partitions or max(2, n_shards // 2)
     (
-        index.term_stats.repartitionByRange(tp, "field", "term")
+        term_stats.repartitionByRange(tp, "field", "term")
         .sortWithinPartitions("field", "term")
         .write.mode("overwrite")
         .parquet(f"{path}/{dirs['term_stats']}")
@@ -268,10 +328,10 @@ def save_index(
 
     # postings blocks: group by (shard, field) and encode in pandas
     avgdl_map = {f: v[1] for f, v in corpus.items()}
-    p = index.postings.withColumn(
+    p = flat.withColumn(
         "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
     )
-    has_pos = "positions" in index.postings.columns
+    has_pos = "positions" in flat.columns
     if not has_pos:
         p = p.withColumn("positions", F.lit(None).cast("array<int>"))
 
@@ -286,6 +346,9 @@ def save_index(
         .partitionBy("shard")
         .parquet(f"{path}/{dirs['postings']}")
     )
+    if not index._intermediates:
+        flat.unpersist()
+    index.unpersist_intermediates()
 
     # metrics from what we just wrote (cheap metadata-ish aggregations)
     bdf = spark.read.parquet(f"{path}/{dirs['postings']}")
@@ -296,7 +359,6 @@ def save_index(
         int(r["shard"]): {"blocks": int(r["blocks"]), "postings": int(r["postings"])}
         for r in mrows
     }
-    n_docs_total = index.docs.count()
 
     manifest = {
         "version": 1,
@@ -358,5 +420,5 @@ def build_and_save(
 ) -> CompressedIndex:
     from lighthouse_spark.plans.indexer import build_index
 
-    idx = build_index(docs, doc_id_col, fields, mode)
+    idx = build_index(docs, doc_id_col, fields, mode, cache_agg=True)
     return save_index(idx, path, n_shards=n_shards, block_size=block_size)

@@ -1,0 +1,106 @@
+"""Dedup operator tests against planted duplicates + Python oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from lighthouse_spark.functions.analysis import tokenize_text
+from lighthouse_spark.pipeline import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog in the park"),
+    (2, "the quick brown fox jumps over the lazy dog in the park"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat in the park"),  # near dup
+    (4, "spark streaming joins aggregate windows with watermarks"),
+    (5, "completely different content about databases and indexes"),
+    (6, "spark streaming joins aggregate windows with watermarks late data"),  # near dup of 4
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(DOCS, "id long, text string").cache()
+
+
+def _py_shingles(text, n=3):
+    toks = tokenize_text(text, "simple")
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+
+def _py_jaccard_pairs(n=3, threshold=0.5):
+    out = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = _py_shingles(ta, n), _py_shingles(tb, n)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            out[(ia, ib)] = round(j, 6)
+    return out
+
+
+def test_exact_dedup(df):
+    kept = dedup.exact_dedup_keep(df, "id", "text")
+    ids = {r["id"] for r in kept.select("id").collect()}
+    assert 1 in ids and 2 not in ids  # min-id winner
+    assert ids == {1, 3, 4, 5, 6}
+    groups = {r["id"]: r["dup_count"] for r in dedup.exact_dedup(df, "id", "text").collect()}
+    assert groups[1] == 2
+
+
+def test_ngram_jaccard_matches_oracle(df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.3).collect()
+    }
+    want = _py_jaccard_pairs(3, 0.3)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_minhash_lsh_finds_planted_dups(df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(df, "id", "text", threshold=0.3).collect()
+    }
+    # exact dup pair must always be caught (identical signatures)
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(1.0)
+    # all reported pairs are truly >= threshold (verification step)
+    want = _py_jaccard_pairs(3, 0.3)
+    for k, v in pairs.items():
+        assert k in want and v == pytest.approx(want[k], abs=1e-6)
+
+
+def test_simhash_pairs(df):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_pairs(df, "id", "text", max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0  # identical docs -> identical simhash
+    for (a, b), h in pairs.items():
+        assert 0 <= h <= 10
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    bf = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(
+            df, "id", "vec", threshold=0.99, brute_force=True
+        ).collect()
+    }
+    assert set(bf) == {(1, 2)}
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            df, "id", "vec", threshold=0.99, planes=4
+        ).collect()
+    }
+    assert lsh <= set(bf) or lsh == set(bf)
+    assert (1, 2) in lsh  # hyperplane bucketing keeps near-identical vectors together
