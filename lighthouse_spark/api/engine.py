@@ -145,37 +145,41 @@ class SearchEngine:
         is_channel = self._col("claim_type") == "channel" if self._has("claim_type") else None
         is_stream = self._col("claim_type") == "stream" if self._has("claim_type") else None
 
-        frames: list[DataFrame | None] = []
+        frames: list[tuple[str, DataFrame | None]] = []
+        # clause names mirror the reference's QueryName tags (query.go)
         # moreLikeThis (query.go:106-121)
         if self.enable_mlt:
-            frames.append(self._mlt(req, terms))
+            frames.append(("more-like-this", self._mlt(req, terms)))
         # matchPhraseName boost 2 (*10 if @) (query.go:161-169)
-        frames.append(self._phrase("name", terms, 2.0 * (10 if at else 1)))
+        frames.append(("name-match-phrase", self._phrase("name", terms, 2.0 * (10 if at else 1))))
         # matchName fuzzy boost 1 (*10 if @) (query.go:171-180)
-        frames.append(self._match("name", terms, 1.0 * (10 if at else 1), fuzzy=True))
+        frames.append(("name-match", self._match("name", terms, 1.0 * (10 if at else 1), fuzzy=True)))
         # matchChannelName: phrase(name) MUST channel, boost 10 (query.go:182-189)
         if is_channel is not None:
-            frames.append(self._gate(self._phrase("name", terms, 10.0), is_channel))
+            frames.append(("channel-phrase-match", self._gate(self._phrase("name", terms, 10.0), is_channel)))
         # matchTitle fuzzy boost 1 (query.go:130-134)
-        frames.append(self._match("title", terms, 1.0, fuzzy=True))
+        frames.append(("title-match", self._match("title", terms, 1.0, fuzzy=True)))
         # matchPhraseTitle boost 10 (query.go:136-140)
-        frames.append(self._phrase("title", terms, 10.0))
+        frames.append(("title-match-phrase", self._phrase("title", terms, 10.0)))
         # matchDescription boost 1, no fuzz (query.go:149-153)
-        frames.append(self._match("description", terms, 1.0, fuzzy=False))
+        frames.append(("description-match", self._match("description", terms, 1.0, fuzzy=False)))
         # matchPhraseDescription boost 2 (query.go:155-159)
-        frames.append(self._phrase("description", terms, 2.0))
+        frames.append(("description-match-phrase", self._phrase("description", terms, 2.0)))
         # matchCompressedName: match(name, compressed) fuzzy boost 10 MUST channel (query.go:191-200)
         if is_channel is not None and compressed != s:
             frames.append(
-                self._gate(self._match("name", comp_terms, 10.0, fuzzy=True), is_channel)
+                ("name-match-@compressed",
+                 self._gate(self._match("name", comp_terms, 10.0, fuzzy=True), is_channel))
             )
         # matchChannel: match(channel) boost 5 MUST stream (query.go:202-209)
         if is_stream is not None:
-            frames.append(self._gate(self._match("channel", terms, 5.0, fuzzy=False), is_stream))
+            frames.append(("channel-match-@boost",
+                           self._gate(self._match("channel", terms, 5.0, fuzzy=False), is_stream)))
         # matchCompressedChannel: phrase(channel, compressed) boost 5 MUST stream (query.go:211-219)
         if is_stream is not None and compressed != s:
-            frames.append(self._gate(self._phrase("channel", comp_terms, 5.0), is_stream))
-        return [f for f in frames if f is not None]
+            frames.append(("channel-match-@compressed",
+                           self._gate(self._phrase("channel", comp_terms, 5.0), is_stream)))
+        return [(n, f) for n, f in frames if f is not None]
 
     def _mlt(self, req: SearchRequest, terms: list[str]) -> DataFrame | None:
         """more_like_this over name/title/channel (query.go:106-121)."""
@@ -327,7 +331,7 @@ class SearchEngine:
             docs_f = self.docs.filter(self._filters(req, s))
             return self._page(scored, docs_f, req, round_score, add_boosts=False)
 
-        frames = self._min_set(req, s, terms)
+        frames = [f for _, f in self._min_set(req, s, terms)]
         if not frames:
             scored = search._empty_scored(self.index)
         else:

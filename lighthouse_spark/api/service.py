@@ -1,0 +1,136 @@
+"""Serving layer: request-level cache, status, explain.
+
+- QueryCache: the reference's result cache — LRU, 10,000 entries,
+  5-minute TTL, keyed by the request URI (ref: /root/reference/app/
+  actions/search/search.go:24,117-140; auto_complete.go:32,103-133).
+  Driver-side (the reference caches in the API process too); Spark
+  computation is only reached on miss.
+- SearchService: ties engine + autocomplete + cache + status together —
+  the /search, /autocomplete, /status surface (app/actions/routes.go:
+  36-46).
+- explain: per-clause score breakdown (the reference forwards ES's
+  Explain(true), search.go:103-112; ours returns a long-format frame
+  (doc_id, clause, score) + doc-level boost/decay rows).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lighthouse_spark.api.autocomplete import autocomplete
+from lighthouse_spark.api.engine import SearchEngine
+from lighthouse_spark.api.request import AutoCompleteRequest, SearchRequest
+
+
+class QueryCache:
+    """LRU + TTL cache (search.go:24: ccache max 10k, 5-min TTL)."""
+
+    def __init__(self, max_entries: int = 10_000, ttl_seconds: float = 300.0):
+        self.max_entries = max_entries
+        self.ttl = ttl_seconds
+        self._d: OrderedDict[str, tuple[float, object]] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def fetch(self, key: str, compute):
+        now = time.monotonic()
+        hit = self._d.get(key)
+        if hit is not None and now - hit[0] < self.ttl:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return hit[1]
+        self.misses += 1
+        val = compute()
+        self._d[key] = (now, val)
+        self._d.move_to_end(key)
+        while len(self._d) > self.max_entries:
+            self._d.popitem(last=False)
+        return val
+
+
+@dataclass
+class SearchService:
+    engine: SearchEngine
+    cache: QueryCache = field(default_factory=QueryCache)
+
+    def search(self, req: SearchRequest) -> list[dict]:
+        """Cached /search: returns collected hit dicts (the JSON-array
+        response shape, search.go:122-139)."""
+        key = "search:" + repr(req)
+        return self.cache.fetch(
+            key, lambda: [r.asDict() for r in self.engine.search(req).collect()]
+        )
+
+    def autocomplete(self, req: AutoCompleteRequest) -> list[str]:
+        """Cached /autocomplete: deduped name list (auto_complete.go:111-131)."""
+        key = "ac:" + repr(req)
+        name_col = self.engine.fields.name
+        return self.cache.fetch(
+            key,
+            lambda: [
+                r[name_col]
+                for r in autocomplete(
+                    self.engine.index, req, self.engine.fields
+                ).collect()
+            ],
+        )
+
+    def status(self) -> dict:
+        """/status analogue (A2; app/actions/status.go:30-55): doc
+        count + per-field corpus stats + index health."""
+        idx = self.engine.index
+        n_docs = idx.docs.count()
+        return {
+            "status": "green" if n_docs >= 0 else "red",
+            "doc_count": n_docs,
+            "fields": {
+                f: {"n_docs": n, "avgdl": round(a, 3)}
+                for f, (n, a) in idx.corpus_stats().items()
+            },
+            "cache": {"hits": self.cache.hits, "misses": self.cache.misses},
+        }
+
+    def explain(self, req: SearchRequest, k: int = 10) -> DataFrame:
+        """Score breakdown for the top-k docs of a query: long-format
+        (doc_id, clause, score). Clause names mirror the reference's
+        QueryName tags (query.go) plus 'boosts' and 'gauss_decay'."""
+        eng = self.engine
+        req.validate()
+        from lighthouse_spark.api import special
+        from lighthouse_spark.api.request import truncate_query
+
+        s = special.rewrite(truncate_query(req.s))
+        terms = eng._terms(s)
+        top = eng.search(req).select("doc_id")
+        parts = []
+        for name, fr in eng._min_set(req, s, terms):
+            parts.append(
+                fr.join(top, "doc_id", "left_semi").select(
+                    "doc_id", F.lit(name).alias("clause"), "score"
+                )
+            )
+        docs_f = eng.docs.filter(eng._filters(req, s))
+        boosts = docs_f.join(
+            top, docs_f[eng._id] == top["doc_id"], "left_semi"
+        ).select(
+            F.col(eng._id).alias("doc_id"),
+            F.lit("boosts").alias("clause"),
+            eng._boost_col().alias("score"),
+        )
+        decay = docs_f.join(
+            top, docs_f[eng._id] == top["doc_id"], "left_semi"
+        ).select(
+            F.col(eng._id).alias("doc_id"),
+            F.lit("gauss_decay").alias("clause"),
+            eng._decay_col().alias("score"),
+        )
+        parts.extend([boosts, decay])
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("doc_id", "clause")

@@ -1,0 +1,121 @@
+"""Serving layer (cache/status/explain) + streaming ingestion."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from lighthouse_spark.api.engine import SearchEngine
+from lighthouse_spark.api.request import AutoCompleteRequest, SearchRequest
+from lighthouse_spark.api.service import QueryCache, SearchService
+from lighthouse_spark.functions.analysis import tokenize_text
+from lighthouse_spark.operators import wand
+from lighthouse_spark.plans.indexer import FieldSpec, build_index
+from lighthouse_spark.sources.claims import synthetic_claims
+from lighthouse_spark.sources.corpus import synthetic_corpus
+from lighthouse_spark.sources.store import build_and_save
+from lighthouse_spark.streaming.incremental import run_available_now
+
+
+@pytest.fixture(scope="module")
+def service(spark):
+    claims = synthetic_claims(spark, 200).cache()
+    idx = build_index(
+        claims,
+        "doc_id",
+        {
+            "name": FieldSpec("name", positions=True),
+            "title": FieldSpec("title", positions=True),
+            "description": FieldSpec("description", positions=True),
+            "channel": FieldSpec("channel", positions=True),
+        },
+        mode="simple",
+    ).cache()
+    return SearchService(SearchEngine(idx))
+
+
+def test_cache_hit_and_ttl():
+    c = QueryCache(max_entries=2, ttl_seconds=0.2)
+    calls = []
+    assert c.fetch("a", lambda: calls.append(1) or "va") == "va"
+    assert c.fetch("a", lambda: calls.append(1) or "vb") == "va"  # hit
+    assert len(calls) == 1 and c.hits == 1
+    time.sleep(0.25)
+    assert c.fetch("a", lambda: calls.append(1) or "vc") == "vc"  # expired
+    # LRU eviction at max_entries
+    c.fetch("b", lambda: "vb")
+    c.fetch("c", lambda: "vc")
+    assert c.fetch("a", lambda: "fresh") == "fresh"  # 'a' was evicted
+
+
+def test_service_search_cached(service):
+    req = SearchRequest(s="interesting facts", size=5)
+    r1 = service.search(req)
+    m = service.cache.misses
+    r2 = service.search(SearchRequest(s="interesting facts", size=5))
+    assert r1 == r2
+    assert service.cache.misses == m  # second call was a cache hit
+    assert service.cache.hits >= 1
+
+
+def test_service_autocomplete(service):
+    names = service.autocomplete(AutoCompleteRequest(s="cr", size=5))
+    assert isinstance(names, list)
+    assert len(names) == len(set(names))
+
+
+def test_service_status(service):
+    st = service.status()
+    assert st["doc_count"] == 200
+    assert st["status"] == "green"
+    assert "name" in st["fields"] and st["fields"]["name"]["n_docs"] > 0
+
+
+def test_explain_breakdown_sums_to_score(service):
+    req = SearchRequest(s="crypto news", size=5)
+    hits = service.engine.search(req).select("doc_id", "score").collect()
+    br = service.explain(req).collect()
+    per_doc: dict[int, float] = {}
+    for r in br:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0.0) + r["score"]
+    for h in hits:
+        assert per_doc[h["doc_id"]] == pytest.approx(h["score"], rel=1e-9)
+    clauses = {r["clause"] for r in br}
+    assert "boosts" in clauses and "gauss_decay" in clauses
+    assert any(c.endswith("match") or "phrase" in c for c in clauses)
+
+
+def test_streaming_available_now(spark, tmp_path):
+    docs = synthetic_corpus(spark, 200)
+    ci = build_and_save(
+        docs, "doc_id", {"content": FieldSpec("content")},
+        str(tmp_path / "idx"), mode="code", n_shards=2,
+    )
+    # drop two files into the stream source dir: one upsert batch, one
+    # with a delete-routed row
+    src = tmp_path / "incoming"
+    one = ci.docs.orderBy("doc_id").limit(2).cache()
+    ids = [r["doc_id"] for r in one.select("doc_id").collect()]
+    batch1 = one.withColumn("content", F.lit("streamedterm alpha")).withColumn(
+        "bid_state", F.lit("Accepted")
+    )
+    batch1.write.mode("overwrite").parquet(str(src))
+    schema = batch1.schema
+
+    ci = run_available_now(ci, str(src), str(tmp_path / "ckpt"), schema=schema)
+    got = {r["doc_id"] for r in wand.wand_topk(ci, "content", ["streamedterm"], k=10).collect()}
+    assert got == set(ids)
+
+    # second pass with NO new files: checkpoint prevents re-processing
+    lineage_len = len(ci.manifest["lineage"])
+    ci = run_available_now(ci, str(src), str(tmp_path / "ckpt"), schema=schema)
+    assert len(ci.manifest["lineage"]) == lineage_len
+
+    # a new file with a Spent row deletes the doc
+    batch2 = one.limit(1).withColumn("bid_state", F.lit("Spent"))
+    batch2.write.mode("append").parquet(str(src))
+    ci = run_available_now(ci, str(src), str(tmp_path / "ckpt"), schema=schema)
+    got2 = {r["doc_id"] for r in wand.wand_topk(ci, "content", ["streamedterm"], k=10).collect()}
+    assert len(got2) == 1 and got2 < set(ids)
