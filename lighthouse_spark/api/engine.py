@@ -122,9 +122,10 @@ class SearchEngine:
             return None
         fname = getattr(self.fields, logical)
         if fuzzy and self.enable_fuzzy:
+            exp_map = expand.expand_fuzzy_all(self.index, fname, terms)
             expanded: list[str] = []
             for t in terms:
-                expanded.extend(expand.expand_fuzzy(self.index, fname, t))
+                expanded.extend(exp_map[t])
             terms = expanded
         return search.match_terms(self.index, fname, terms, boost)
 

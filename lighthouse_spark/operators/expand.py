@@ -57,6 +57,52 @@ def _auto_fuzziness(term: str) -> int:
     return 2
 
 
+def expand_fuzzy_all(
+    index: InvertedIndex,
+    field: str,
+    terms: list[str],
+    max_edits: int | None = None,
+    limit: int = MAX_EXPANSIONS,
+) -> dict[str, list[str]]:
+    """Edit-distance expansion for a WHOLE query against the term
+    dictionary in ONE scan (Q4) — per-term jobs would make every fuzzy
+    clause pay a separate Spark round trip.
+
+    Candidates are length-banded ((|len(t)-len(q)| <= d) — sargable
+    against the sorted dictionary's length stats) then exact
+    `levenshtein()` JVM-side; each query term keeps its closest
+    ``limit`` expansions (ed asc, term asc)."""
+    uniq = sorted(set(terms))
+    ds = {t: (_auto_fuzziness(t) if max_edits is None else max_edits) for t in uniq}
+    fuzzy = [t for t in uniq if ds[t] > 0]
+    out: dict[str, list[str]] = {t: [t] for t in uniq}
+    if not fuzzy:
+        return out
+    lens = [len(t) for t in fuzzy]
+    band = (F.length("term") >= min(lens) - 2) & (F.length("term") <= max(lens) + 2)
+    any_match = None
+    eds = []
+    for i, t in enumerate(fuzzy):
+        ed = F.levenshtein(F.col("term"), F.lit(t))
+        eds.append(ed.alias(f"_ed{i}"))
+        c = ed <= ds[t]
+        any_match = c if any_match is None else (any_match | c)
+    rows = (
+        index.term_stats.filter((F.col("field") == field) & band)
+        .select("term", *eds)
+        .filter(any_match)
+        .distinct()
+        .collect()
+    )
+    for i, t in enumerate(fuzzy):
+        cands = sorted(
+            ((r[f"_ed{i}"], r["term"]) for r in rows if r[f"_ed{i}"] <= ds[t])
+        )[:limit]
+        exp = [c[1] for c in cands]
+        out[t] = exp or [t]
+    return out
+
+
 def expand_fuzzy(
     index: InvertedIndex,
     field: str,
@@ -64,33 +110,8 @@ def expand_fuzzy(
     max_edits: int | None = None,
     limit: int = MAX_EXPANSIONS,
 ) -> list[str]:
-    """Edit-distance expansion against the term dictionary (Q4).
-
-    Candidate set is length-banded first (|len(t)-len(q)| <= d) —
-    cheap sargable-ish prefilter — then exact `levenshtein()` (built-in,
-    JVM-side). The exact term is always included if present.
-    """
-    d = _auto_fuzziness(term) if max_edits is None else max_edits
-    if d == 0:
-        return [term]
-    ln = len(term)
-    cand = index.term_stats.filter(
-        (F.col("field") == field)
-        & (F.length("term") >= ln - d)
-        & (F.length("term") <= ln + d)
-        & (F.levenshtein(F.col("term"), F.lit(term)) <= d)
-    )
-    rows = (
-        cand.select("term", F.levenshtein(F.col("term"), F.lit(term)).alias("ed"))
-        .distinct()
-        .orderBy("ed", "term")
-        .limit(limit)
-        .collect()
-    )
-    out = [r["term"] for r in rows]
-    if term not in out and any(r["ed"] == 0 for r in rows):
-        out.insert(0, term)
-    return out
+    """Single-term convenience wrapper over expand_fuzzy_all."""
+    return expand_fuzzy_all(index, field, [term], max_edits, limit)[term]
 
 
 MLT_MAX_TERMS = 25

@@ -1,0 +1,60 @@
+"""Physical-plan regression guards: the optimizations the engine's
+scale story depends on must stay in the plan (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from lighthouse_spark.operators import search, wand
+from lighthouse_spark.plans.indexer import FieldSpec, build_index
+from lighthouse_spark.sources.store import build_and_save
+
+
+@pytest.fixture(scope="module")
+def cidx(spark, docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("planidx"))
+    return build_and_save(docs, "doc_id", {"content": "content"}, d, mode="code", n_shards=4)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_scan_pushes_term_filter(cidx):
+    """The query's term IN-list must reach the parquet scan — at 100 TB
+    this is the difference between reading a few posting blocks and
+    scanning the whole index."""
+    blocks = cidx.postings.filter(
+        (F.col("field") == "content") & F.col("term").isin(["the", "sparklight"])
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)", _plan(blocks))
+    assert m, "no PushedFilters in scan"
+    pf = m.group(1)
+    assert "EqualTo(field,content)" in pf
+    assert "In(term," in pf
+
+
+def test_postings_scan_prunes_columns(cidx):
+    """Column pruning: a doc_ids-only projection must not read the
+    payload columns."""
+    slim = cidx.postings.filter(F.col("term") == "the").select("term", "doc_ids_enc")
+    m = re.search(r"ReadSchema: ([^\n]*)", _plan(slim))
+    assert m and "tfs_enc" not in m.group(1) and "positions_enc" not in m.group(1)
+
+
+def test_match_terms_broadcasts_stats(index):
+    scored = search.match_terms(index, "content", ["the", "sparklight"])
+    p = _plan(scored)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "stats join regressed to a sort-merge shuffle"
+
+
+def test_topk_plans_take_ordered(index, docs, cidx):
+    scored = search.match_terms(index, "content", ["sparklight"])
+    top = search.top_k(scored, docs, "doc_id", k=10, columns=["doc_id"])
+    assert "TakeOrderedAndProject" in _plan(top)
+    w = wand.wand_topk(cidx, "content", ["sparklight"], k=10)
+    assert "TakeOrderedAndProject" in _plan(w)
