@@ -339,6 +339,30 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relational / streaming-analogue legs
 # --------------------------------------------------------------------------
 
+def q_bool_should(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8+Q9: bool SHOULD score_mode=sum — match(text) + 2x phrase
+    boost summed per doc (the composite scoring shape, query.go:22-71)."""
+    docs, idx = _doc_index(spark, sf_dir, positions=True)
+    terms = tokenize_text(FLAGSHIP_Q, "simple")
+    c1 = search.match_terms(idx, "text", terms)
+    c2 = search.phrase(idx, "text", PHRASE_Q, boost=2.0)
+    both = search.bool_should([c1, c2])
+    return search.top_k(both, docs, "doc_id", k=15, columns=["doc_id"], round_score=ROUND)
+
+
+def q_autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 scoring path: single-token prefix 'sp' expanded against the
+    term dictionary (<=50, alphabetical), per-doc score = MAX over
+    expansions' BM25 (auto_complete.go:58-70 semantics), top 10."""
+    from lighthouse_spark.api.autocomplete import phrase_prefix
+
+    docs, idx = _doc_index(spark, sf_dir)
+    scored = phrase_prefix(idx, "text", ["sp"], boost=1.0)
+    if scored is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return search.top_k(scored, docs, "doc_id", k=10, columns=["doc_id"], round_score=ROUND)
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup over the events table (the batch analogue
     of a windowed streaming agg — the reference is poll-based batch,
@@ -388,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_expand": q_prefix_expand,
         "fuzzy_expand": q_fuzzy_expand,
         "mlt_terms": q_mlt_terms,
+        "bool_should": q_bool_should,
+        "autocomplete_prefix": q_autocomplete_prefix,
         # scoring / boosts
         "function_score": q_function_score,
         "gauss_decay": q_gauss_decay,
@@ -526,6 +552,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT term FROM dft CROSS JOIN c
             WHERE df > 0
             ORDER BY ln(1 + (c.n - df + 0.5) / (df + 0.5)) DESC, term LIMIT 5""",
+        "bool_should": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            c AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            q(term) AS (SELECT unnest(['spark', 'merge', 'window'])),
+            m AS (
+              SELECT tf.doc_id,
+                     sum(ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                         * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))) AS score
+              FROM tf JOIN q USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN c
+              GROUP BY tf.doc_id),
+            norm AS (SELECT doc_id, {_TOKS_LIST} AS t FROM documents),
+            pidf AS (
+              SELECT sum(ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))) AS idf_sum
+              FROM dft CROSS JOIN c WHERE term IN ('big', 'data')),
+            freqs AS (
+              SELECT doc_id,
+                     len(list_filter(generate_series(1, len(t) - 1),
+                                     i -> t[i] = 'big' AND t[i + 1] = 'data'))::DOUBLE AS freq
+              FROM norm),
+            p AS (
+              SELECT f.doc_id,
+                     2.0 * pidf.idf_sum * f.freq * 2.2
+                       / (f.freq + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) AS score
+              FROM freqs f JOIN dl USING (doc_id) CROSS JOIN c CROSS JOIN pidf
+              WHERE f.freq > 0),
+            u AS (SELECT * FROM m UNION ALL SELECT * FROM p),
+            s AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY 1)
+            SELECT doc_id, round(score, {ROUND}) AS score FROM s
+            ORDER BY score DESC, doc_id ASC LIMIT 15""",
+        "autocomplete_prefix": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            c AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            exp AS (SELECT term FROM dft WHERE term LIKE 'sp%' ORDER BY term LIMIT 50),
+            per AS (
+              SELECT tf.doc_id,
+                     max(ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                         * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))) AS score
+              FROM tf JOIN exp USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN c
+              GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, {ROUND}) AS score FROM per
+            ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "dedup_exact": """
             SELECT sha256(text) AS content_sha256, min(doc_id) AS doc_id,
                    count(*) AS dup_count
