@@ -47,7 +47,7 @@ from lighthouse_spark.api.request import (
     truncate_query,
 )
 from lighthouse_spark.functions.analysis import tokenize_text
-from lighthouse_spark.operators import expand, scoring, search
+from lighthouse_spark.operators import expand, fused, scoring, search
 from lighthouse_spark.plans.indexer import InvertedIndex
 
 
@@ -122,7 +122,11 @@ class SearchEngine:
             return None
         fname = getattr(self.fields, logical)
         if fuzzy and self.enable_fuzzy:
-            exp_map = expand.expand_fuzzy_all(self.index, fname, terms)
+            pre = getattr(self, "_fuzzy_prefetch", None)
+            if pre is not None and fname in pre and all(t in pre[fname] for t in terms):
+                exp_map = pre[fname]
+            else:
+                exp_map = expand.expand_fuzzy_all(self.index, fname, terms)
             expanded: list[str] = []
             for t in terms:
                 expanded.extend(exp_map[t])
@@ -135,52 +139,137 @@ class SearchEngine:
         fname = getattr(self.fields, logical)
         if not self.index.fields[fname].positions:
             return None
-        return search.phrase(self.index, fname, terms, boost)
+        pre = getattr(self, "_df_prefetch", None)
+        return search.phrase(
+            self.index, fname, terms, boost,
+            df_map=(pre.get(fname) if pre else None),
+        )
 
     # ---- min-set clauses (query.go:35-50) ---------------------------------
+    # Declared as SPECS (data) and executed by operators/fused.py in
+    # two postings scans total — semantically identical to one frame
+    # per clause, but without 11 scans/22 exchanges per query.
 
-    def _min_set(self, req: SearchRequest, s: str, terms: list[str]) -> list[DataFrame]:
+    def _expand(self, fname: str, tlist: list[str]) -> list[str]:
+        pre = getattr(self, "_fuzzy_prefetch", None)
+        if pre is not None and fname in pre and all(t in pre[fname] for t in tlist):
+            exp_map = pre[fname]
+        else:
+            exp_map = expand.expand_fuzzy_all(self.index, fname, tlist)
+        return [e for t in tlist for e in exp_map[t]]
+
+    def _clause_specs(
+        self, req: SearchRequest, s: str, terms: list[str]
+    ) -> tuple[list[fused.MatchSpec], list[fused.PhraseSpec]]:
         at = s.startswith("@")  # @-prefix → channel-name intent (query.go:163-180)
         compressed = s.replace(" ", "")
         comp_terms = self._terms(compressed)
-        is_channel = self._col("claim_type") == "channel" if self._has("claim_type") else None
-        is_stream = self._col("claim_type") == "stream" if self._has("claim_type") else None
+        has_ct = self._has("claim_type")
 
-        frames: list[tuple[str, DataFrame | None]] = []
-        # clause names mirror the reference's QueryName tags (query.go)
-        # moreLikeThis (query.go:106-121)
-        if self.enable_mlt:
-            frames.append(("more-like-this", self._mlt(req, terms)))
+        ms: list[fused.MatchSpec] = []
+        ps: list[fused.PhraseSpec] = []
+
+        def mspec(clause, logical, tlist, boost, fuzzy, gate=None):
+            if not self._has(logical) or not tlist:
+                return
+            fname = getattr(self.fields, logical)
+            if fuzzy and self.enable_fuzzy:
+                tlist = self._expand(fname, tlist)
+            ms.append(fused.MatchSpec(clause, fname, tuple(tlist), boost, gate))
+
+        def pspec(clause, logical, tlist, boost, gate=None):
+            if not self._has(logical) or not tlist:
+                return
+            fname = getattr(self.fields, logical)
+            if not self.index.fields[fname].positions:
+                return
+            ps.append(fused.PhraseSpec(clause, fname, tuple(tlist), boost, gate))
+
+        # moreLikeThis (query.go:106-121): per-field selected terms, one
+        # clause (sum across fields == bool_should sum)
+        if self.enable_mlt and req.related_to is None:
+            pre = getattr(self, "_df_prefetch", None)
+            for logical in ("name", "title", "channel"):
+                if not self._has(logical):
+                    continue
+                fname = getattr(self.fields, logical)
+                sel = expand.mlt_terms(
+                    self.index, fname, terms, df_map=(pre.get(fname) if pre else None)
+                )
+                if sel:
+                    ms.append(fused.MatchSpec("more-like-this", fname, tuple(sel), 1.0))
         # matchPhraseName boost 2 (*10 if @) (query.go:161-169)
-        frames.append(("name-match-phrase", self._phrase("name", terms, 2.0 * (10 if at else 1))))
+        pspec("name-match-phrase", "name", terms, 2.0 * (10 if at else 1))
         # matchName fuzzy boost 1 (*10 if @) (query.go:171-180)
-        frames.append(("name-match", self._match("name", terms, 1.0 * (10 if at else 1), fuzzy=True)))
+        mspec("name-match", "name", terms, 1.0 * (10 if at else 1), fuzzy=True)
         # matchChannelName: phrase(name) MUST channel, boost 10 (query.go:182-189)
-        if is_channel is not None:
-            frames.append(("channel-phrase-match", self._gate(self._phrase("name", terms, 10.0), is_channel)))
+        if has_ct:
+            pspec("channel-phrase-match", "name", terms, 10.0, gate="channel")
         # matchTitle fuzzy boost 1 (query.go:130-134)
-        frames.append(("title-match", self._match("title", terms, 1.0, fuzzy=True)))
+        mspec("title-match", "title", terms, 1.0, fuzzy=True)
         # matchPhraseTitle boost 10 (query.go:136-140)
-        frames.append(("title-match-phrase", self._phrase("title", terms, 10.0)))
+        pspec("title-match-phrase", "title", terms, 10.0)
         # matchDescription boost 1, no fuzz (query.go:149-153)
-        frames.append(("description-match", self._match("description", terms, 1.0, fuzzy=False)))
+        mspec("description-match", "description", terms, 1.0, fuzzy=False)
         # matchPhraseDescription boost 2 (query.go:155-159)
-        frames.append(("description-match-phrase", self._phrase("description", terms, 2.0)))
+        pspec("description-match-phrase", "description", terms, 2.0)
         # matchCompressedName: match(name, compressed) fuzzy boost 10 MUST channel (query.go:191-200)
-        if is_channel is not None and compressed != s:
-            frames.append(
-                ("name-match-@compressed",
-                 self._gate(self._match("name", comp_terms, 10.0, fuzzy=True), is_channel))
-            )
+        if has_ct and compressed != s:
+            mspec("name-match-@compressed", "name", comp_terms, 10.0, fuzzy=True, gate="channel")
         # matchChannel: match(channel) boost 5 MUST stream (query.go:202-209)
-        if is_stream is not None:
-            frames.append(("channel-match-@boost",
-                           self._gate(self._match("channel", terms, 5.0, fuzzy=False), is_stream)))
+        if has_ct:
+            mspec("channel-match-@boost", "channel", terms, 5.0, fuzzy=False, gate="stream")
         # matchCompressedChannel: phrase(channel, compressed) boost 5 MUST stream (query.go:211-219)
-        if is_stream is not None and compressed != s:
-            frames.append(("channel-match-@compressed",
-                           self._gate(self._phrase("channel", comp_terms, 5.0), is_stream)))
-        return [(n, f) for n, f in frames if f is not None]
+        if has_ct and compressed != s:
+            pspec("channel-match-@compressed", "channel", comp_terms, 5.0, gate="stream")
+        return ms, ps
+
+    def clause_scores(self, req: SearchRequest) -> DataFrame:
+        """Long-format per-clause scored frame (doc_id, clause, score)
+        — the engine's candidate generator and the explain payload."""
+        s = special.rewrite(truncate_query(req.s))
+        terms = self._terms(s)
+        self._prefetch(s, terms)
+        ms, ps = self._clause_specs(req, s, terms)
+        dfmaps = self._df_for_specs(ms, ps)
+        gate_df = None
+        if self._has("claim_type") and any(x.gate for x in ms + ps):
+            gate_df = self.docs.select(
+                F.col(self._id), self._col("claim_type").alias("claim_type")
+            )
+        return fused.execute(self.index, ms, ps, dfmaps, gate_df)
+
+    def _prefetch(self, s: str, terms: list[str]) -> None:
+        comp_terms = self._terms(s.replace(" ", ""))
+        phys_fields = [
+            getattr(self.fields, lg)
+            for lg in ("name", "title", "description", "channel")
+            if self._has(lg)
+        ]
+        self._phys_fields = phys_fields
+        self._df_prefetch = search.prefetch_df(
+            self.index, phys_fields, terms + comp_terms
+        )
+        if self.enable_fuzzy:
+            self._fuzzy_prefetch = expand.expand_fuzzy_fields(
+                self.index, phys_fields, terms + comp_terms
+            )
+
+    def _df_for_specs(self, ms, ps) -> dict[str, dict[str, int]]:
+        """Ensure df stats cover every spec term (fuzzy expansions may
+        exceed the initial prefetch) — at most one extra tiny scan."""
+        need: dict[str, set[str]] = {}
+        for x in list(ms) + list(ps):
+            need.setdefault(x.field, set()).update(x.terms)
+        have = getattr(self, "_df_prefetch", {}) or {}
+        missing = sorted(
+            {t for f, ts in need.items() for t in ts if t not in have.get(f, {})}
+        )
+        if missing:
+            extra = search.prefetch_df(self.index, sorted(need), missing)
+            for f, m in extra.items():
+                have.setdefault(f, {}).update(m)
+        return have
 
     def _mlt(self, req: SearchRequest, terms: list[str]) -> DataFrame | None:
         """more_like_this over name/title/channel (query.go:106-121)."""
@@ -190,12 +279,15 @@ class SearchEngine:
             boost = 2.0
         else:
             like = terms
+        pre = getattr(self, "_df_prefetch", None) if req.related_to is None else None
         frames = []
         for logical in ("name", "title", "channel"):
             if not self._has(logical):
                 continue
             fname = getattr(self.fields, logical)
-            sel = expand.mlt_terms(self.index, fname, like)
+            sel = expand.mlt_terms(
+                self.index, fname, like, df_map=(pre.get(fname) if pre else None)
+            )
             if sel:
                 frames.append(search.match_terms(self.index, fname, sel, boost))
         if not frames:
@@ -332,11 +424,8 @@ class SearchEngine:
             docs_f = self.docs.filter(self._filters(req, s))
             return self._page(scored, docs_f, req, round_score, add_boosts=False)
 
-        frames = [f for _, f in self._min_set(req, s, terms)]
-        if not frames:
-            scored = search._empty_scored(self.index)
-        else:
-            scored = search.bool_should(frames)  # min 1 should match
+        long = self.clause_scores(req)
+        scored = long.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
         docs_f = self.docs.filter(self._filters(req, s))
         exact_ids = self._exact_phrase_filter_ids(s)

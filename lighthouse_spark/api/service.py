@@ -105,15 +105,8 @@ class SearchService:
         from lighthouse_spark.api.request import truncate_query
 
         s = special.rewrite(truncate_query(req.s))
-        terms = eng._terms(s)
         top = eng.search(req).select("doc_id")
-        parts = []
-        for name, fr in eng._min_set(req, s, terms):
-            parts.append(
-                fr.join(top, "doc_id", "left_semi").select(
-                    "doc_id", F.lit(name).alias("clause"), "score"
-                )
-            )
+        parts = [eng.clause_scores(req).join(top, "doc_id", "left_semi")]
         docs_f = eng.docs.filter(eng._filters(req, s))
         boosts = docs_f.join(
             top, docs_f[eng._id] == top["doc_id"], "left_semi"

@@ -57,6 +57,54 @@ def _auto_fuzziness(term: str) -> int:
     return 2
 
 
+def expand_fuzzy_fields(
+    index: InvertedIndex,
+    fields: list[str],
+    terms: list[str],
+    max_edits: int | None = None,
+    limit: int = MAX_EXPANSIONS,
+) -> dict[str, dict[str, list[str]]]:
+    """Fuzzy expansion for a whole query across ALL searchable fields
+    in ONE dictionary scan: {field: {term: [expansions]}}. The
+    composite engine prefetches this once per request — per-clause
+    expansion scans were the request's driver-side hotspot."""
+    uniq = sorted(set(terms))
+    ds = {t: (_auto_fuzziness(t) if max_edits is None else max_edits) for t in uniq}
+    fuzzy = [t for t in uniq if ds[t] > 0]
+    out: dict[str, dict[str, list[str]]] = {
+        f: {t: [t] for t in uniq} for f in fields
+    }
+    if not fuzzy or not fields:
+        return out
+    lens = [len(t) for t in fuzzy]
+    band = (F.length("term") >= min(lens) - 2) & (F.length("term") <= max(lens) + 2)
+    any_match = None
+    eds = []
+    for i, t in enumerate(fuzzy):
+        ed = F.levenshtein(F.col("term"), F.lit(t))
+        eds.append(ed.alias(f"_ed{i}"))
+        c = ed <= ds[t]
+        any_match = c if any_match is None else (any_match | c)
+    rows = (
+        index.term_stats.filter(F.col("field").isin(list(fields)) & band)
+        .select("field", "term", *eds)
+        .filter(any_match)
+        .distinct()
+        .collect()
+    )
+    by_field: dict[str, list] = {f: [] for f in fields}
+    for r in rows:
+        by_field[r["field"]].append(r)
+    for f in fields:
+        for i, t in enumerate(fuzzy):
+            cands = sorted(
+                ((r[f"_ed{i}"], r["term"]) for r in by_field[f] if r[f"_ed{i}"] <= ds[t])
+            )[:limit]
+            exp = [c[1] for c in cands]
+            out[f][t] = exp or [t]
+    return out
+
+
 def expand_fuzzy_all(
     index: InvertedIndex,
     field: str,
@@ -123,23 +171,27 @@ def mlt_terms(
     field: str,
     like_terms: list[str],
     max_terms: int = MLT_MAX_TERMS,
+    df_map: dict[str, int] | None = None,
 ) -> list[str]:
     """more_like_this term selection (Q5; query.go:106-121): keep the
     top-N "like" terms by tf·idf against the corpus, dropping the
     stopword list. tf here is the term's frequency within the like
-    text; idf from term_stats."""
+    text; idf from term_stats (prefetchable via search.prefetch_df)."""
     cand = sorted({t for t in like_terms if t not in MLT_STOP})
     if not cand:
         return []
     n, _ = index.corpus_stats().get(field, (0, 1.0))
     if n == 0:
         return []
-    rows = (
-        index.term_stats.filter((F.col("field") == field) & F.col("term").isin(cand))
-        .select("term", "df")
-        .collect()
-    )
-    dfm = {r["term"]: int(r["df"]) for r in rows}
+    if df_map is None:
+        rows = (
+            index.term_stats.filter((F.col("field") == field) & F.col("term").isin(cand))
+            .select("term", "df")
+            .collect()
+        )
+        dfm = {r["term"]: int(r["df"]) for r in rows}
+    else:
+        dfm = df_map
     from collections import Counter
 
     tfq = Counter(like_terms)

@@ -1,0 +1,192 @@
+"""Fused clause execution: one posting-pairs scan for ALL match
+clauses + one positional scan shared by ALL phrase clauses.
+
+The naive plan for the reference's 11-clause bool tree is a union of
+11 subplans, each scanning postings and broadcasting stats — fine
+semantically, but 11 scans and ~22 exchanges per query. Since every
+match clause is "sum over (field,term) of w * tfn(tf,dl)" with a
+PER-CLAUSE weight w = qtf * boost * idf computed driver-side from the
+prefetched df stats, all match clauses fuse into:
+
+    postings filtered to the union of (field,term) pairs
+      ⋈ broadcast(spec(clause, gate, field, term, w, avgdl))
+      → groupBy(doc_id, clause) sum
+
+and all phrase clauses select from ONE positional posmap aggregation
+(per-clause branches differ only in their post-agg projection, so
+Spark's ReuseExchange shares the underlying scan+shuffle), from which
+each phrase clause's occurrence count is a higher-order expression.
+
+Structural gates (claim_type = channel/stream MUST-conditions) ride
+along as a `gate` tag and are applied once against a broadcast
+doc→claim_type projection. Scores are identical to the per-clause
+path (pinned by the engine golden tests).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lighthouse_spark.operators.scoring import B, K1, idf_py
+from lighthouse_spark.plans.indexer import InvertedIndex
+
+
+@dataclass(frozen=True)
+class MatchSpec:
+    clause: str
+    field: str              # physical field name
+    terms: tuple[str, ...]  # with duplicates (qtf semantics)
+    boost: float = 1.0
+    gate: str | None = None  # None | claim_type value
+
+
+@dataclass(frozen=True)
+class PhraseSpec:
+    clause: str
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+    gate: str | None = None
+
+
+def _tfn(tf, dl, avgdl_col):
+    return (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl_col))
+
+
+def _pairs_cond(pairs_by_field: dict[str, set[str]]):
+    cond = None
+    for f, ts in pairs_by_field.items():
+        c = (F.col("field") == f) & F.col("term").isin(sorted(ts))
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def execute(
+    index: InvertedIndex,
+    match_specs: list[MatchSpec],
+    phrase_specs: list[PhraseSpec],
+    dfmaps: dict[str, dict[str, int]],
+    gate_df: DataFrame | None = None,
+    gate_col: str = "claim_type",
+) -> DataFrame:
+    """Returns the long-format clause frame (doc_id, clause, score)."""
+    spark = index.spark
+    corpus = index.corpus_stats()
+    parts: list[DataFrame] = []
+
+    # ---- fused match clauses ------------------------------------------
+    rows = []
+    for ms in match_specs:
+        n, avgdl = corpus.get(ms.field, (0, 1.0))
+        if n == 0:
+            continue
+        for t, c in Counter(ms.terms).items():
+            df = dfmaps.get(ms.field, {}).get(t)
+            if not df:
+                continue
+            rows.append(
+                (ms.clause, ms.gate, ms.field, t,
+                 idf_py(df, n) * c * ms.boost, float(avgdl))
+            )
+    if rows:
+        spec = spark.createDataFrame(
+            rows, "clause string, gate string, field string, term string, w double, avgdl double"
+        )
+        pairs: dict[str, set[str]] = {}
+        for _, _, f, t, _, _ in rows:
+            pairs.setdefault(f, set()).add(t)
+        p = index.postings.filter(_pairs_cond(pairs)).select(
+            "field", "term", "doc_id", "tf", "dl"
+        )
+        j = p.join(F.broadcast(spec), ["field", "term"])
+        scored = j.select(
+            "doc_id", "clause", "gate",
+            (F.col("w") * _tfn(F.col("tf"), F.col("dl"), F.col("avgdl"))).alias("score"),
+        )
+        parts.append(
+            scored.groupBy("doc_id", "clause", "gate").agg(F.sum("score").alias("score"))
+        )
+
+    # ---- fused phrase clauses ------------------------------------------
+    valid_ph = []
+    for ps in phrase_specs:
+        dfm = dfmaps.get(ps.field, {})
+        n, _ = corpus.get(ps.field, (0, 1.0))
+        if n and ps.terms and all(dfm.get(t) for t in ps.terms):
+            valid_ph.append(ps)
+    if valid_ph:
+        pairs = {}
+        for ps in valid_ph:
+            pairs.setdefault(ps.field, set()).update(ps.terms)
+        pos = (
+            index.postings.filter(_pairs_cond(pairs) & F.col("positions").isNotNull())
+            .groupBy("field", "doc_id")
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("term", "positions"))).alias(
+                    "posmap"
+                ),
+                F.first("dl").alias("dl"),
+            )
+        )
+        for ps in valid_ph:
+            n, avgdl = corpus[ps.field]
+            dfm = dfmaps[ps.field]
+            idf_sum = sum(idf_py(dfm[t], n) for t in ps.terms)
+            anchor = F.element_at("posmap", ps.terms[0])
+            rest = list(ps.terms[1:])
+            if not rest:
+                freq = F.size(anchor)
+            else:
+                # factory closure: a second lambda param would make
+                # F.filter treat it as the (element, index) form
+                def make_adjacent(rest_terms):
+                    def adjacent(x):
+                        cond = F.lit(True)
+                        for i, t in enumerate(rest_terms, start=1):
+                            cond = cond & F.array_contains(
+                                F.element_at("posmap", t), x + i
+                            )
+                        return cond
+
+                    return adjacent
+
+                freq = F.size(F.filter(anchor, make_adjacent(rest)))
+            parts.append(
+                pos.filter(F.col("field") == ps.field)
+                .withColumn("freq", freq)
+                .filter(F.col("freq") > 0)
+                .select(
+                    "doc_id",
+                    F.lit(ps.clause).alias("clause"),
+                    F.lit(ps.gate).alias("gate"),
+                    (
+                        F.lit(idf_sum * ps.boost)
+                        * _tfn(F.col("freq").cast("double"), F.col("dl"), F.lit(float(avgdl)))
+                    ).alias("score"),
+                )
+            )
+
+    if not parts:
+        return spark.createDataFrame([], "doc_id long, clause string, score double")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+
+    # ---- structural gates (one broadcast join for every gated clause) --
+    if gate_df is not None:
+        g = gate_df.select(
+            F.col(gate_df.columns[0]).alias("doc_id"),
+            F.col(gate_col).alias("_gate_val"),
+        )
+        out = (
+            out.join(F.broadcast(g), "doc_id", "left")
+            .filter(F.col("gate").isNull() | (F.col("gate") == F.col("_gate_val")))
+            .drop("_gate_val")
+        )
+    else:
+        out = out.filter(F.col("gate").isNull())
+    return out.select("doc_id", "clause", "score")

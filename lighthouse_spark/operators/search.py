@@ -76,12 +76,37 @@ def match_terms(
     return per_term.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
 
+def prefetch_df(
+    index: InvertedIndex, fields: list[str], terms: list[str]
+) -> dict[str, dict[str, int]]:
+    """One dictionary lookup for a whole query: {field: {term: df}}.
+
+    A composite query has ~10 clauses over 4 fields; collecting df per
+    clause would pay ~10 driver round trips — this is the single
+    broadcast-sized stats fetch they all share."""
+    uniq = sorted(set(terms))
+    out: dict[str, dict[str, int]] = {f: {} for f in fields}
+    if not uniq or not fields:
+        return out
+    rows = (
+        index.term_stats.filter(
+            F.col("field").isin(list(fields)) & F.col("term").isin(uniq)
+        )
+        .select("field", "term", "df")
+        .collect()
+    )
+    for r in rows:
+        out[r["field"]][r["term"]] = int(r["df"])
+    return out
+
+
 def phrase(
     index: InvertedIndex,
     field: str,
     terms: list[str],
     boost: float = 1.0,
     slop: int = 0,
+    df_map: dict[str, int] | None = None,
 ) -> DataFrame:
     """`match_phrase` clause (Q2; query.go:136-169).
 
@@ -105,12 +130,13 @@ def phrase(
         raise ValueError(f"field {field!r} was indexed without positions")
 
     uniq = sorted(set(terms))
-    # df per query term (tiny driver-side lookup; also lets us bail out
-    # early when any phrase term is absent from the corpus).
-    ts = index.term_stats.filter(
-        (F.col("field") == field) & F.col("term").isin(uniq)
-    ).select("term", "df")
-    df_map = {r["term"]: int(r["df"]) for r in ts.collect()}
+    # df per query term (tiny driver-side lookup unless prefetched;
+    # also lets us bail out early when any phrase term is absent).
+    if df_map is None:
+        ts = index.term_stats.filter(
+            (F.col("field") == field) & F.col("term").isin(uniq)
+        ).select("term", "df")
+        df_map = {r["term"]: int(r["df"]) for r in ts.collect()}
     if any(t not in df_map for t in terms):
         return _empty_scored(index)
     # Lucene PhraseQuery idf: sum over term *occurrences* in the phrase.
