@@ -85,6 +85,34 @@ def main() -> None:
         search.phrase(flat, "text", ["big", "data"]).orderBy("doc_id").limit(10).collect()
         timings["phrase"] = round(time.time() - t0, 3)
 
+        # ---- composite /search engine (claims corpus) ----
+        from lighthouse_spark.api.engine import SearchEngine
+        from lighthouse_spark.api.request import SearchRequest
+        from lighthouse_spark.sources.claims import synthetic_claims
+
+        claims = synthetic_claims(spark, 2000).cache()
+        cidx_flat = build_index(
+            claims, "doc_id",
+            {k: FieldSpec(k, positions=True) for k in ("name", "title", "description", "channel")},
+            "simple",
+        ).cache()
+        cidx_flat.postings.count()
+        eng = SearchEngine(cidx_flat)
+        eng.search(SearchRequest(s="warmup query", size=5)).collect()
+        t0 = time.time()
+        eng.search(SearchRequest(s="interesting and amazing facts", size=10)).collect()
+        timings["composite_search"] = round(time.time() - t0, 3)
+
+        # ---- incremental sync (upsert batch into the compressed index) ----
+        from pyspark.sql import functions as Fx
+
+        from lighthouse_spark.sources import sync as sync_mod
+
+        upd = docs.limit(200).withColumn("text", Fx.concat(Fx.lit("benchsync "), Fx.col("text")))
+        t0 = time.time()
+        ci = sync_mod.apply_incremental(ci, upserts=upd)
+        timings["incremental_upsert_200"] = round(time.time() - t0, 3)
+
         # ---- relational legs at this sf ----
         import __spark_entry__ as entry
 

@@ -109,30 +109,6 @@ class SearchEngine:
     def _terms(self, s: str) -> list[str]:
         return tokenize_text(s, self.index.mode)
 
-    def _gate(self, frame: DataFrame | None, cond: Column) -> DataFrame | None:
-        """Restrict a scored frame to docs satisfying a structural
-        condition (MUST term-condition, score contribution 0)."""
-        if frame is None:
-            return None
-        ids = self.docs.filter(cond).select(F.col(self._id).alias("doc_id"))
-        return frame.join(ids, "doc_id", "left_semi")
-
-    def _match(self, logical: str, terms: list[str], boost: float, fuzzy: bool) -> DataFrame | None:
-        if not self._has(logical) or not terms:
-            return None
-        fname = getattr(self.fields, logical)
-        if fuzzy and self.enable_fuzzy:
-            pre = getattr(self, "_fuzzy_prefetch", None)
-            if pre is not None and fname in pre and all(t in pre[fname] for t in terms):
-                exp_map = pre[fname]
-            else:
-                exp_map = expand.expand_fuzzy_all(self.index, fname, terms)
-            expanded: list[str] = []
-            for t in terms:
-                expanded.extend(exp_map[t])
-            terms = expanded
-        return search.match_terms(self.index, fname, terms, boost)
-
     def _phrase(self, logical: str, terms: list[str], boost: float) -> DataFrame | None:
         if not self._has(logical) or not terms:
             return None
