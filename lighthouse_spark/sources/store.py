@@ -304,18 +304,40 @@ def save_index(
     doc_stats = index.doc_stats
     term_stats = flat.groupBy("field", "term").agg(F.count("*").alias("df"))
 
-    crows = doc_stats.groupBy("field").agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
-    ).collect()
-    corpus = {
-        r["field"]: (int(r["n_docs"]), float(r["total_dl"]) / int(r["n_docs"]))
-        for r in crows
-    }
-    total_dls = {r["field"]: int(r["total_dl"]) for r in crows}
+    # corpus scalars + doc count ride along the writes as Observations
+    # — no separate aggregation jobs (every serial job adds scheduling
+    # latency that caps N→4N scaling efficiency)
+    from pyspark.sql import Observation
 
-    index.docs.write.mode("overwrite").parquet(f"{path}/{dirs['docs']}")
-    n_docs_total = spark.read.parquet(f"{path}/{dirs['docs']}").count()
-    doc_stats.write.mode("overwrite").parquet(f"{path}/{dirs['doc_stats']}")
+    field_names = sorted(index.fields)
+    obs_docs = Observation()
+    (
+        index.docs.observe(obs_docs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/{dirs['docs']}")
+    )
+    n_docs_total = int(obs_docs.get["n"])
+
+    obs_ds = Observation()
+    ds_aggs = []
+    for fn in field_names:
+        cond = F.col("field") == fn
+        ds_aggs.append(F.sum(F.when(cond, F.col("dl"))).alias(f"dl_{fn}"))
+        ds_aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"n_{fn}"))
+    (
+        doc_stats.observe(obs_ds, *ds_aggs)
+        .write.mode("overwrite")
+        .parquet(f"{path}/{dirs['doc_stats']}")
+    )
+    vals = obs_ds.get
+    corpus = {}
+    total_dls = {}
+    for fn in field_names:
+        n = int(vals[f"n_{fn}"] or 0)
+        dl = int(vals[f"dl_{fn}"] or 0)
+        if n:
+            corpus[fn] = (n, dl / n)
+            total_dls[fn] = dl
 
     # term dictionary: range-partitioned + sorted by term for pruning
     tp = term_partitions or max(2, n_shards // 2)
