@@ -130,14 +130,16 @@ def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2+T3: explicit sort + from/size pagination (search.go:96-116)."""
-    orders = _t(spark, sf_dir, "orders")
-    from pyspark.sql import Window
+    """T2+T3: explicit sort + from/size pagination (search.go:96-116).
 
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    offset(5).limit(10) plans as one TakeOrderedAndProject(15, offset=5)
+    — per-partition top-15 heaps + driver merge; never a global
+    single-partition window (from <= 9,999 bounds the heap)."""
+    orders = _t(spark, sf_dir, "orders")
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 5) & (F.col("rn") <= 15))
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(5)
+        .limit(10)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
 
@@ -241,10 +243,17 @@ def q_fuzzy_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MLT_LIKE_TEXT = (
+    "the the spark spark merge merge window join join join table scan https https"
+)
+
+
 def q_mlt_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5: more-like-this term selection — top tf·idf query terms."""
+    """Q5: more-like-this term selection — top tf·idf like-terms under
+    ES's default min_term_freq=2 / min_doc_freq=5 gates (query.go:106-121
+    inherits both defaults by not overriding them)."""
     _, idx = _doc_index(spark, sf_dir)
-    like = tokenize_text("the spark merge window join table scan https", "simple")
+    like = tokenize_text(_MLT_LIKE_TEXT, "simple")
     from lighthouse_spark.operators import expand
 
     sel = expand.mlt_terms(idx, "text", like, max_terms=5)
@@ -526,8 +535,12 @@ _ANN_QUERY_SQL = None  # filled below
 
 def oracle_sql() -> dict[str, str]:
     ann_q = "[" + ", ".join(f"{x!r}" for x in _ANN_QUERY) + "]::DOUBLE[]"
-    mlt_like = tokenize_text("the spark merge window join table scan https", "simple")
+    from collections import Counter
+
+    mlt_like = tokenize_text(_MLT_LIKE_TEXT, "simple")
+    mlt_tfq = Counter(mlt_like)
     mlt_cand = sorted(set(mlt_like) - {"https"})
+    mlt_vals = ", ".join(f"({t!r}, {float(mlt_tfq[t])})" for t in mlt_cand)
     return {
         "bm25_topk": _BM25_CTES
         + f"SELECT doc_id, round(score, {ROUND}) AS score FROM scored "
@@ -547,11 +560,13 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
             dl AS (SELECT doc_id FROM tok GROUP BY 1),
             c AS (SELECT count(*)::DOUBLE AS n FROM dl),
+            likes(term, tfq) AS (VALUES {mlt_vals}),
             dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
                     WHERE term IN ({", ".join(repr(t) for t in mlt_cand)}) GROUP BY 1)
-            SELECT term FROM dft CROSS JOIN c
-            WHERE df > 0
-            ORDER BY ln(1 + (c.n - df + 0.5) / (df + 0.5)) DESC, term LIMIT 5""",
+            SELECT l.term AS term FROM likes l JOIN dft USING (term) CROSS JOIN c
+            WHERE l.tfq >= 2 AND dft.df >= 5
+            ORDER BY l.tfq * ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5)) DESC, l.term
+            LIMIT 5""",
         "bool_should": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),

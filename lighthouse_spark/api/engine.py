@@ -189,14 +189,18 @@ class SearchEngine:
         mspec("description-match", "description", terms, 1.0, fuzzy=False)
         # matchPhraseDescription boost 2 (query.go:155-159)
         pspec("description-match-phrase", "description", terms, 2.0)
-        # matchCompressedName: match(name, compressed) fuzzy boost 10 MUST channel (query.go:191-200)
-        if has_ct and compressed != s:
+        # matchCompressedName: match(name, compressed) fuzzy boost 10 MUST
+        # channel (query.go:191-200). Added UNCONDITIONALLY, exactly as the
+        # reference does — for single-word queries compressed == s and the
+        # clause still scores (fused.execute dedups identical scans).
+        if has_ct:
             mspec("name-match-@compressed", "name", comp_terms, 10.0, fuzzy=True, gate="channel")
         # matchChannel: match(channel) boost 5 MUST stream (query.go:202-209)
         if has_ct:
             mspec("channel-match-@boost", "channel", terms, 5.0, fuzzy=False, gate="stream")
-        # matchCompressedChannel: phrase(channel, compressed) boost 5 MUST stream (query.go:211-219)
-        if has_ct and compressed != s:
+        # matchCompressedChannel: phrase(channel, compressed) boost 5 MUST
+        # stream (query.go:211-219) — also unconditional.
+        if has_ct:
             pspec("channel-match-@compressed", "channel", comp_terms, 5.0, gate="stream")
         return ms, ps
 
@@ -435,20 +439,17 @@ class SearchEngine:
             out = out.withColumn("score", F.round("score", round_score))
         tie = "doc_id" if "doc_id" in out.columns else self._id
         if req.sort_by:
-            desc = req.sort_by.startswith("^")
+            # search.go:115: Sort(field, ascending=strings.Contains(sortBy,
+            # "^")) — bare field sorts DESC, ^field sorts ASC.
+            asc = req.sort_by.startswith("^")
             fld = req.sort_by.lstrip("^")
-            order = [F.col(fld).desc() if desc else F.col(fld).asc(), F.col(tie).asc()]
+            order = [F.col(fld).asc() if asc else F.col(fld).desc(), F.col(tie).asc()]
         else:
             order = [F.col("score").desc(), F.col(tie).asc()]
         out = out.orderBy(*order)
         if req.from_:
-            from pyspark.sql import Window
-
-            w = Window.orderBy(*order)
-            out = (
-                out.withColumn("_rn", F.row_number().over(w))
-                .filter((F.col("_rn") > req.from_) & (F.col("_rn") <= req.from_ + req.size))
-                .drop("_rn")
-            )
-            return out
+            # offset+limit plans as one TakeOrderedAndProject(from+size,
+            # from) — per-partition heaps, no single-partition window;
+            # from <= 9,999 (search.go:96) bounds the heap.
+            return out.offset(req.from_).limit(req.size)
         return out.limit(req.size)

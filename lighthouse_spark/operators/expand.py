@@ -166,17 +166,25 @@ MLT_MAX_TERMS = 25
 MLT_STOP = {"https"}  # ref: query.go:118 StopWords("https")
 
 
+MLT_MIN_TERM_FREQ = 2  # ES more_like_this default, inherited by query.go:106-121
+MLT_MIN_DOC_FREQ = 5   # (the reference does not override either)
+
+
 def mlt_terms(
     index: InvertedIndex,
     field: str,
     like_terms: list[str],
     max_terms: int = MLT_MAX_TERMS,
     df_map: dict[str, int] | None = None,
+    min_term_freq: int = MLT_MIN_TERM_FREQ,
+    min_doc_freq: int = MLT_MIN_DOC_FREQ,
 ) -> list[str]:
     """more_like_this term selection (Q5; query.go:106-121): keep the
     top-N "like" terms by tf·idf against the corpus, dropping the
-    stopword list. tf here is the term's frequency within the like
-    text; idf from term_stats (prefetchable via search.prefetch_df)."""
+    stopword list and terms below ES's default min_term_freq=2 /
+    min_doc_freq=5 gates (the reference inherits both defaults). tf is
+    the term's frequency within the like text; idf from term_stats
+    (prefetchable via search.prefetch_df)."""
     cand = sorted({t for t in like_terms if t not in MLT_STOP})
     if not cand:
         return []
@@ -196,7 +204,9 @@ def mlt_terms(
 
     tfq = Counter(like_terms)
     scored = [
-        (tfq[t] * scoring.idf_py(dfm[t], n), t) for t in cand if t in dfm and dfm[t] > 0
+        (tfq[t] * scoring.idf_py(dfm[t], n), t)
+        for t in cand
+        if tfq[t] >= min_term_freq and dfm.get(t, 0) >= max(min_doc_freq, 1)
     ]
     scored.sort(key=lambda x: (-x[0], x[1]))
     return [t for _, t in scored[:max_terms]]

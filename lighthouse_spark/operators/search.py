@@ -224,8 +224,9 @@ def top_k(
     """Join stored fields and take the page (T1-T3; search.go:92-116).
 
     Default order: score DESC, doc_id ASC (deterministic tie-break —
-    SURVEY.md §7.4.2). `sort_by='field'` asc / `'^field'` desc mirrors
-    the reference's sortBy convention (search.go:113-116).
+    SURVEY.md §7.4.2). `sort_by='field'` DESC / `'^field'` ASC mirrors
+    the reference's sortBy convention (search.go:113-116: olivere
+    Sort(field, ascending) with ascending=strings.Contains(sortBy,"^")).
     """
     # Alias both sides: `scored` usually derives from `docs` (self-join
     # lineage); qualified names keep the analyzer unambiguous.
@@ -243,21 +244,17 @@ def top_k(
     out = out.select(*sel)
     tie = "doc_id" if "doc_id" in out.columns else doc_id_col
     if sort_by:
-        desc = sort_by.startswith("^")
+        asc = sort_by.startswith("^")
         fld = sort_by.lstrip("^")
-        order = [F.col(fld).desc() if desc else F.col(fld).asc(), F.col(tie).asc()]
+        order = [F.col(fld).asc() if asc else F.col(fld).desc(), F.col(tie).asc()]
     else:
         order = [F.col("score").desc(), F.col(tie).asc()]
     out = out.orderBy(*order)
     if offset:
-        # Pagination beyond head: row_number window then slice (T3).
-        from pyspark.sql import Window
-
-        w = Window.orderBy(*order)
-        out = (
-            out.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + k))
-            .drop("_rn")
-        )
-        return out
+        # Pagination beyond head (T3): offset+limit plans as ONE
+        # TakeOrderedAndProject(limit=offset+k, offset=offset) —
+        # per-partition top-(offset+k) heaps + driver merge, never a
+        # global single-partition window. from<=9,999 (search.go:96)
+        # bounds the heap at 10,009 rows regardless of corpus size.
+        return out.offset(offset).limit(k)
     return out.limit(k)

@@ -96,12 +96,22 @@ class FieldIdx:
         cands.sort()
         return [t for _, t in cands[:limit]]
 
-    def mlt_select(self, like: list[str], max_terms: int = 25) -> list[str]:
+    def mlt_select(
+        self,
+        like: list[str],
+        max_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+    ) -> list[str]:
+        # ES more_like_this defaults min_term_freq=2 / min_doc_freq=5
+        # (inherited by query.go:106-121 — not overridden there).
         tfq = Counter(like)
         scored = [
             (tfq[t] * self.idf(t), t)
             for t in sorted(set(like))
-            if t != "https" and self.df[t] > 0
+            if t != "https"
+            and tfq[t] >= min_term_freq
+            and self.df[t] >= max(min_doc_freq, 1)
         ]
         scored.sort(key=lambda x: (-x[0], x[1]))
         return [t for _, t in scored[:max_terms]]
@@ -165,20 +175,18 @@ def composite_search(
     _add(q, idx["description"].match(terms))
     # matchPhraseDescription 2
     _add(q, {d: v * 2 for d, v in idx["description"].phrase(terms).items()})
-    # matchCompressedName fuzzy 10 & channel
-    if compressed != s:
-        _add(
-            q,
-            {d: v * 10
-             for d, v in idx["name"].match(fuzzy_terms(idx["name"], comp_terms)).items()},
-            gate=is_channel,
-        )
+    # matchCompressedName fuzzy 10 & channel — unconditional (query.go:191-200)
+    _add(
+        q,
+        {d: v * 10
+         for d, v in idx["name"].match(fuzzy_terms(idx["name"], comp_terms)).items()},
+        gate=is_channel,
+    )
     # matchChannel 5 & stream
     _add(q, {d: v * 5 for d, v in idx["channel"].match(terms).items()}, gate=is_stream)
-    # matchCompressedChannel phrase 5 & stream
-    if compressed != s:
-        _add(q, {d: v * 5 for d, v in idx["channel"].phrase(comp_terms).items()},
-             gate=is_stream)
+    # matchCompressedChannel phrase 5 & stream — unconditional (query.go:211-219)
+    _add(q, {d: v * 5 for d, v in idx["channel"].phrase(comp_terms).items()},
+         gate=is_stream)
 
     out = []
     for d, qs in q.items():

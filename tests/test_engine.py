@@ -87,10 +87,17 @@ def test_pagination_consistent(engine):
 
 
 def test_sort_by_field(engine):
-    req = SearchRequest(s="crypto", size=10, sort_by="^effective_amount")
+    # search.go:115: ascending=strings.Contains(sortBy, "^") — bare
+    # field sorts DESC, ^field sorts ASC.
+    req = SearchRequest(s="crypto", size=10, sort_by="effective_amount")
     rows = engine.search(req).select("effective_amount").collect()
     vals = [r["effective_amount"] for r in rows]
     assert vals == sorted(vals, reverse=True)
+
+    req = SearchRequest(s="crypto", size=10, sort_by="^effective_amount")
+    rows = engine.search(req).select("effective_amount").collect()
+    vals = [r["effective_amount"] for r in rows]
+    assert vals == sorted(vals)
 
 
 def test_quoted_phrase_is_filter(engine, claims_pd):
