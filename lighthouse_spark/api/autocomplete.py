@@ -7,7 +7,7 @@ Mirrors /root/reference/app/actions/auto_complete.go:35-138:
 - otherwise multi_match phrase_prefix (slop 5, max 50 expansions) on
   name^4 SHOULD-combined with the nested metadata fields title^5 /
   author^3 / description^2 (auto_complete.go:58-70) — we flatten the
-  nested `value` fields to top-level title/description columns.
+  nested `value` fields to top-level title/author/description columns.
 - optional nsfw MUST filter (auto_complete.go:73-75).
 - project (name, claimId), page, then dedupe names preserving rank
   (auto_complete.go:111-131 dedupes within the returned page).
@@ -17,9 +17,17 @@ PINNED SEMANTICS: prefix expansion is alphabetical capped at 50
 term match with its own statistics; a doc's clause score is the MAX
 over expansions (Lucene MultiPhrase behaves similarly though not
 identically); the two SHOULD clauses sum (ES bool).
+
+FUSED PLAN (per field): one dictionary scan fetches the expansions
+AND every needed df; one postings scan (term IN head∪expansions)
+feeds one per-doc aggregation; the ≤50 expansion scores are a single
+greatest() projection over per-expansion columns — never one scored
+subplan per expansion (that was 50 scans + 50 broadcasts per query).
 """
 
 from __future__ import annotations
+
+from collections import Counter
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,11 +35,42 @@ from pyspark.sql import functions as F
 from lighthouse_spark.api.engine import ClaimsFieldMap
 from lighthouse_spark.api.request import AutoCompleteRequest
 from lighthouse_spark.functions.analysis import tokenize_text
-from lighthouse_spark.operators import expand, search
+from lighthouse_spark.operators import expand, scoring, search
 from lighthouse_spark.plans.indexer import InvertedIndex
 
 SLOP = 5            # auto_complete.go:63
 MAX_EXPANSIONS = 50  # auto_complete.go:64
+
+
+def _freq_expr(chain_terms: list[str], slop: int):
+    """Phrase-occurrence count for one expansion chain, as a pure
+    higher-order-function expression over the shared posmap column
+    (same semantics as operators/search.phrase)."""
+    anchor = F.element_at("posmap", chain_terms[0])
+    rest = chain_terms[1:]
+    if not rest:
+        return F.size(anchor)
+    if slop == 0:
+
+        def adjacent(x, _r=tuple(rest)):
+            cond = F.lit(True)
+            for i, t in enumerate(_r, start=1):
+                cond = cond & F.array_contains(F.element_at("posmap", t), x + i)
+            return cond
+
+        return F.size(F.filter(anchor, adjacent))
+
+    # NB: HOF lambdas must stay UNARY — a second (even defaulted)
+    # parameter makes PySpark bind the (element, index) form.
+    def chain(i, prev, _ts=tuple(chain_terms)):
+        if i == len(_ts):
+            return F.lit(True)
+        arr = F.element_at("posmap", _ts[i])
+        return F.exists(
+            arr, lambda xi: (xi > prev) & (xi <= prev + slop + 1) & chain(i + 1, xi)
+        )
+
+    return F.size(F.filter(anchor, lambda x0: chain(1, x0)))
 
 
 def phrase_prefix(
@@ -43,26 +82,84 @@ def phrase_prefix(
     max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame | None:
     """match_phrase_prefix: last term prefix-expanded against the term
-    dictionary; per-doc score = max over expansions (Q3)."""
+    dictionary; per-doc score = max over expansions (Q3), fused into
+    one postings scan + one aggregation for all expansions."""
     if not terms:
         return None
     *head, last = terms
-    exps = expand.expand_prefix(index, field, last, max_expansions)
+    exps, dfm = expand.expand_prefix_with_df(index, field, last, head, max_expansions)
     if not exps:
         return None
-    frames = []
+    n, avgdl = index.corpus_stats().get(field, (0, 1.0))
+    if n == 0:
+        return None
+
+    if head and index.fields[field].positions:
+        # sloppy-phrase variant: every chain must contain all head
+        # terms — bail early if any head term is absent from the field
+        if any(dfm.get(t, 0) == 0 for t in head):
+            return None
+        head_idf = sum(scoring.idf_py(dfm[t], n) for t in head)
+        pairs = sorted(set(head) | set(exps))
+        p = index.postings.filter(
+            (F.col("field") == field) & F.col("term").isin(pairs)
+        )
+        per_doc = p.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("posmap"),
+            F.first("dl").alias("dl"),
+        )
+        # materialize each expansion's freq once, then one greatest()
+        freq_cols = [
+            _freq_expr(head + [e], slop).alias(f"_f{i}") for i, e in enumerate(exps)
+        ]
+        per_doc = per_doc.select("doc_id", "dl", *freq_cols)
+        scores = [
+            F.when(
+                F.col(f"_f{i}") > 0,
+                F.lit((head_idf + scoring.idf_py(dfm[e], n)) * boost)
+                * scoring.tf_norm_col(F.col(f"_f{i}").cast("double"), F.col("dl"), avgdl),
+            )
+            for i, e in enumerate(exps)
+        ]
+        score = F.greatest(*scores) if len(scores) > 1 else scores[0]
+        return (
+            per_doc.select("doc_id", score.alias("score"))
+            .filter(F.col("score").isNotNull())
+        )
+
+    # term-match variant (no head, or field without positions):
+    # frame_e = BM25 over head+[e]; max over e decomposes into
+    # head_sum + max(expansion contribution) — score is linear in qtf,
+    # so one (doc, term) scan + one aggregation is exact.
+    w_rows = []
+    for t, c in Counter(head).items():
+        if dfm.get(t):
+            w_rows.append((t, scoring.idf_py(dfm[t], n) * c * boost, False))
     for e in exps:
-        if head:
-            if index.fields[field].positions:
-                frames.append(search.phrase(index, field, head + [e], boost, slop=slop))
-            else:
-                frames.append(search.match_terms(index, field, head + [e], boost))
-        else:
-            frames.append(search.match_terms(index, field, [e], boost))
-    u = frames[0]
-    for f in frames[1:]:
-        u = u.unionByName(f)
-    return u.groupBy("doc_id").agg(F.max("score").alias("score"))
+        w_rows.append((e, scoring.idf_py(dfm[e], n) * boost, True))
+    if not w_rows:
+        return None
+    spec = index.spark.createDataFrame(w_rows, "term string, w double, is_exp boolean")
+    p = index.postings.filter(
+        (F.col("field") == field) & F.col("term").isin(sorted({r[0] for r in w_rows}))
+    ).select("term", "doc_id", "tf", "dl")
+    s = p.join(F.broadcast(spec), "term").select(
+        "doc_id",
+        "is_exp",
+        (
+            F.col("w")
+            * scoring.tf_norm_col(F.col("tf").cast("double"), F.col("dl"), avgdl)
+        ).alias("s"),
+    )
+    agg = s.groupBy("doc_id").agg(
+        F.coalesce(F.sum(F.when(~F.col("is_exp"), F.col("s"))), F.lit(0.0)).alias("_head"),
+        F.max(F.when(F.col("is_exp"), F.col("s"))).alias("_exp"),
+    )
+    return agg.select(
+        "doc_id", (F.col("_head") + F.coalesce(F.col("_exp"), F.lit(0.0))).alias("score")
+    )
 
 
 def autocomplete(
@@ -97,9 +194,10 @@ def autocomplete(
         f_name = phrase_prefix(index, fields.name, terms, boost=4.0) if has("name") else None
         if f_name is not None:
             frames.append(f_name)
-        # nested value fields flattened: title^5, description^2
+        # nested value fields flattened: title^5, author^3,
+        # description^2 (auto_complete.go:65-68)
         nested = []
-        for logical, b in (("title", 5.0), ("description", 2.0)):
+        for logical, b in (("title", 5.0), ("author", 3.0), ("description", 2.0)):
             if has(logical) and getattr(fields, logical) in index.fields:
                 f = phrase_prefix(index, getattr(fields, logical), terms, boost=b)
                 if f is not None:

@@ -59,6 +59,7 @@ class ClaimsFieldMap:
 
     name: str | None = "name"
     title: str | None = "title"
+    author: str | None = "author"  # autocomplete nested author^3 (auto_complete.go:65-67)
     description: str | None = "description"
     channel: str | None = "channel"
     claim_type: str | None = "claim_type"

@@ -43,6 +43,34 @@ def expand_prefix(
     return [r["term"] for r in rows]
 
 
+def expand_prefix_with_df(
+    index: InvertedIndex,
+    field: str,
+    prefix: str,
+    head_terms: list[str],
+    limit: int = MAX_EXPANSIONS,
+) -> tuple[list[str], dict[str, int]]:
+    """Prefix expansions AND df stats for (head terms ∪ expansions) in
+    ONE dictionary scan — the autocomplete path needs both, and paying
+    two driver round trips per field tripled its latency floor.
+
+    Returns (expansions sorted/capped, {term: df})."""
+    if not prefix:
+        return [], {}
+    hi = prefix + "￿"
+    pred = (F.col("term") >= prefix) & (F.col("term") < hi)
+    if head_terms:
+        pred = pred | F.col("term").isin(sorted(set(head_terms)))
+    rows = (
+        index.term_stats.filter((F.col("field") == field) & pred)
+        .select("term", "df")
+        .collect()
+    )
+    dfm = {r["term"]: int(r["df"]) for r in rows}
+    exps = sorted(t for t in dfm if prefix <= t < hi)[:limit]
+    return exps, dfm
+
+
 def _auto_fuzziness(term: str) -> int:
     """ES Fuzziness("AUTO"): 0 edits for len 0-2, 1 for 3-5, 2 for >5.
 

@@ -211,10 +211,11 @@ def wand_topk(
         "shard", "term", "block_id", "n_docs", "doc_ids_enc", "tfs_enc",
         "dls_enc", "max_tfn", "enc_avgdl", "snapshot",
     )
-    tomb = cindex.tombstones()
+    # tombstones ship as a broadcast — tasks capture only the handle
+    tomb_bc = cindex.tombstones_bc()
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _kernel(pdf, idf, qtf, avgdl, k, tomb)
+        return _kernel(pdf, idf, qtf, avgdl, k, tomb_bc.value)
 
     per_shard = blocks.groupBy("shard").applyInPandas(run, OUT_SCHEMA)
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
@@ -246,9 +247,10 @@ def exhaustive_topk(
         "shard", "term", "block_id", "n_docs", "doc_ids_enc", "tfs_enc",
         "dls_enc", "snapshot",
     )
-    tomb = cindex.tombstones()
+    tomb_bc = cindex.tombstones_bc()
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        tomb = tomb_bc.value
         ids_all = []
         scores_all = []
         for term, g in pdf.groupby("term"):

