@@ -281,9 +281,12 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH candidates, exact-verified. No SQL oracle (recall of
-    the banding is probabilistic) — rows-only check; the verification
-    step itself is covered by q_dedup_jaccard's oracle."""
+    """MinHash LSH candidates, exact-verified. Oracle = the exact
+    Jaccard pair set (dedup_jaccard's SQL with the same parameters):
+    every emitted pair is sound by construction (exact verify), and
+    oracle equality additionally asserts FULL RECALL of the 16x4
+    banding on this corpus — strictly stronger than the r1 rows-only
+    check."""
     from lighthouse_spark.pipeline import dedup
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -292,15 +295,48 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_BITS = 60       # 15 sha256 hex chars — identical in Spark and DuckDB
+_SIMHASH_MAX_H = 6       # banding uses max_hamming+1 chunks (pigeonhole-complete)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only; hash-internal)."""
+    """SimHash near-dup pairs with radius-complete banding
+    (max_hamming+1 chunks) over a sha2-based 60-bit fingerprint, which
+    DuckDB recomputes bit-for-bit — a full rows+schema+hash oracle
+    instead of the r1 rows-only check (r1 also declared max_hamming=16
+    over 4-chunk banding, whose candidates are only complete to 3)."""
     from lighthouse_spark.pipeline import dedup
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=16).orderBy("id_a", "id_b")
+    return (
+        dedup.simhash_pairs(
+            docs,
+            "doc_id",
+            "text",
+            max_hamming=_SIMHASH_MAX_H,
+            bits=_SIMHASH_BITS,
+            token_hash=dedup.sha2_token_hash,
+        )
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 _ANN_QUERY = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(64)]
+
+
+def _det_mat(rows: int, dim: int, shift: int) -> list[list[float]]:
+    """Deterministic pseudo-random matrix in [-0.5, 0.5) — shared
+    verbatim by the Spark entries and their SQL oracles."""
+    return [
+        [((((r * 73 + i * 149 + shift) * 2654435761) % 1000) / 1000.0 - 0.5)
+         for i in range(dim)]
+        for r in range(rows)
+    ]
+
+
+_LSH_PLANES = _det_mat(8, 64, shift=7)
+_IVF_CENTROIDS = _det_mat(16, 64, shift=101)
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +344,43 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ann.brute_force_topk(emb, "vec_id", "embedding", _ANN_QUERY, k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH buckets + multi-probe
+    (1-bit flips), exact cosine inside probed buckets. The oracle
+    recomputes the identical bucketing in SQL (plane matrix embedded
+    as literals), so the check is exact-within-probed-buckets — the
+    right oracle for near-random test embeddings where absolute-recall
+    assertions are meaningless."""
+    import numpy as np
+
+    from lighthouse_spark.pipeline import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mat = np.array(_LSH_PLANES)
+    bucketed, _ = ann.lsh_bucketize(emb, "vec_id", "embedding", planes_mat=mat)
+    return ann.lsh_topk(
+        bucketed, mat, "vec_id", "embedding", _ANN_QUERY, k=10, nprobe_bits=1
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: IVF — coarse-quantize to nearest centroid, scan
+    only the nprobe closest lists (partition-prunable when persisted
+    partitioned by list_id). Deterministic centroid matrix so the SQL
+    oracle recomputes the same assignment; the fitted-KMeans quantizer
+    (ivf_build) is pytest-covered."""
+    import numpy as np
+
+    from lighthouse_spark.pipeline import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = np.array(_IVF_CENTROIDS)
+    indexed = ann.ivf_assign(emb, "vec_id", "embedding", cents)
+    return ann.ivf_topk(
+        indexed, cents, "vec_id", "embedding", _ANN_QUERY, k=10, nprobe=3
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "text_analysis": q_text_analysis,
         "winnowing": q_winnowing,
@@ -533,6 +608,66 @@ _LANG_STRUCTS = ", ".join(
 _ANN_QUERY_SQL = None  # filled below
 
 
+_JACCARD_SQL = f"""
+    WITH norm AS (SELECT doc_id, {_TOKS_LIST} AS t FROM documents WHERE doc_id < 300),
+    sh AS (SELECT doc_id, {_SHINGLE5} AS sh FROM norm),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(i / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.n + sb.n - i) >= 0.2
+    ORDER BY id_a, id_b"""
+
+
+def _simhash_oracle_sql(bits: int, max_h: int, id_filter: str) -> str:
+    """DuckDB recomputation of the sha2-based simhash: identical token
+    hash (first 15 sha256 hex chars), identical per-bit majority vote,
+    exact hamming pairs — no banding needed oracle-side (the Spark
+    side's pigeonhole banding is complete for the radius)."""
+    hh = "(('0x' || substr(sha256(t), 1, 15))::BIGINT)"
+    sim_expr = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    return f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents WHERE {id_filter}),
+        th AS (SELECT doc_id, {hh} AS h FROM tok),
+        sim AS (SELECT doc_id, ({sim_expr}) AS sim FROM th GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sim, b.sim))::INT AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= {max_h}
+        ORDER BY id_a, id_b"""
+
+
+def _ivf_probes(nprobe: int = 3) -> list[int]:
+    """nprobe closest centroid lists for the fixed query — same logic
+    as ann.ivf_probe_lists, dependency-free for the oracle."""
+    d = [
+        (sum((c - q) ** 2 for c, q in zip(cent, _ANN_QUERY)), j)
+        for j, cent in enumerate(_IVF_CENTROIDS)
+    ]
+    return sorted(j for _, j in sorted(d)[:nprobe])
+
+
+def _lsh_probes() -> list[int]:
+    """Query bucket + 1-bit flips — same logic as ann.lsh_topk."""
+    qbits = 0
+    for p, plane in enumerate(_LSH_PLANES):
+        if sum(a * b for a, b in zip(plane, _ANN_QUERY)) > 0:
+            qbits |= 1 << p
+    probes = {qbits} | {qbits ^ (1 << p) for p in range(len(_LSH_PLANES))}
+    return sorted(probes)
+
+
 def oracle_sql() -> dict[str, str]:
     ann_q = "[" + ", ".join(f"{x!r}" for x in _ANN_QUERY) + "]::DOUBLE[]"
     from collections import Counter
@@ -620,28 +755,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(text) AS content_sha256, min(doc_id) AS doc_id,
                    count(*) AS dup_count
             FROM documents GROUP BY 1 ORDER BY doc_id""",
-        "dedup_jaccard": f"""
-            WITH norm AS (SELECT doc_id, {_TOKS_LIST} AS t FROM documents WHERE doc_id < 300),
-            sh AS (SELECT doc_id, {_SHINGLE5} AS sh FROM norm),
-            ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-            sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   round(i / (sa.n + sb.n - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE i / (sa.n + sb.n - i) >= 0.2
-            ORDER BY id_a, id_b""",
+        "dedup_jaccard": _JACCARD_SQL,
+        # same oracle on purpose: LSH candidates are exact-verified, so
+        # equality with the full exact-Jaccard pair set asserts both
+        # soundness AND complete recall of the banding on this corpus
+        "dedup_minhash": _JACCARD_SQL,
         "ann_bruteforce": f"""
             WITH s AS (
               SELECT vec_id,
                      round(list_cosine_similarity(embedding::DOUBLE[], {ann_q}), 6) AS cosine
               FROM embeddings)
             SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        "ann_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     ({" + ".join(
+                         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                         f"[{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[]) > 0 "
+                         f"THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
+                         for p, plane in enumerate(_LSH_PLANES)
+                     )}) AS bucket
+              FROM embeddings)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], {ann_q}), 6) AS cosine
+            FROM b WHERE bucket IN ({", ".join(str(x) for x in _lsh_probes())})
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        "ann_ivf": f"""
+            WITH ds AS (
+              SELECT vec_id, embedding,
+                     [{", ".join(
+                         f"list_distance(embedding::DOUBLE[], "
+                         f"[{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+                         for c in _IVF_CENTROIDS
+                     )}] AS d
+              FROM embeddings),
+            a AS (SELECT vec_id, embedding,
+                         list_position(d, list_min(d)) - 1 AS list_id FROM ds)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], {ann_q}), 6) AS cosine
+            FROM a WHERE list_id IN ({", ".join(str(x) for x in _ivf_probes())})
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+        "dedup_simhash": _simhash_oracle_sql(_SIMHASH_BITS, _SIMHASH_MAX_H, "doc_id < 300"),
         "embedding_neardup": f"""
             WITH p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,

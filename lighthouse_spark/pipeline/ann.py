@@ -60,14 +60,24 @@ def _bucket_expr(vec_col, planes: np.ndarray):
 
 
 def lsh_bucketize(
-    df: DataFrame, id_col: str, vec_col: str, planes: int = 8, seed: int = 42, dim: int | None = None
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    planes_mat: np.ndarray | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Attach a random-hyperplane bucket id. At scale, write the result
-    partitioned by `bucket` so probes prune partitions."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    mat = rng.standard_normal((planes, dim))
+    partitioned by `bucket` so probes prune partitions. Pass
+    ``planes_mat`` to pin the hyperplanes (e.g. for cross-engine
+    reproducible bucketing); otherwise they are seeded-random."""
+    if planes_mat is None:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        planes_mat = rng.standard_normal((planes, dim))
+    mat = np.asarray(planes_mat, dtype=np.float64)
     v = F.col(vec_col).cast("array<double>")
     return df.withColumn("bucket", _bucket_expr(v, mat)), mat
 
@@ -99,6 +109,38 @@ def lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """IVF list assignment against a GIVEN centroid matrix (argmin
+    squared L2, ties to the lowest list id) — the quantizer-agnostic
+    half of IVF. Use ivf_build for fitted KMeans centroids, or pass a
+    deterministic matrix when cross-engine reproducibility matters
+    (the driver-contract oracle recomputes this assignment in SQL).
+    Pure built-in expressions; at scale, persist partitioned by
+    list_id so probes prune partitions."""
+    v = F.col(vec_col).cast("array<double>")
+    structs = []
+    for j, c in enumerate(np.asarray(centroids, dtype=np.float64)):
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+    list_id = F.array_min(F.array(*structs)).getField("j")
+    return df.withColumn("list_id", list_id)
+
+
+def ivf_probe_lists(centroids: np.ndarray, query, nprobe: int) -> list[int]:
+    """The nprobe closest lists for a query (driver-side argsort over
+    the tiny centroid table) — shared by ivf_topk and its oracle."""
+    q = np.asarray(query, dtype=np.float64)
+    d = ((np.asarray(centroids, dtype=np.float64) - q) ** 2).sum(axis=1)
+    return np.argsort(d, kind="stable")[:nprobe].tolist()
 
 
 def ivf_build(
@@ -136,8 +178,7 @@ def ivf_topk(
     """Scan only the nprobe lists with closest centroids (driver-side
     argsort over the tiny centroid table), exact-score inside."""
     q = np.asarray(query, dtype=np.float64)
-    d = ((centroids - q) ** 2).sum(axis=1)
-    probe = np.argsort(d)[:nprobe].tolist()
+    probe = ivf_probe_lists(centroids, q, nprobe)
     v = F.col(vec_col).cast("array<double>")
     return (
         indexed.filter(F.col("list_id").isin(probe))

@@ -195,11 +195,25 @@ def minhash_lsh_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_from_tokens(toks, bits: int = 64):
-    """64-bit SimHash from a materialized token array column: bit b =
-    sign of sum over tokens of ±1 (term frequency weighting via token
-    multiplicity). Built from aggregate() — no Python, no explode."""
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def sha2_token_hash(t):
+    """Cross-engine-reproducible 60-bit token hash: the first 15 hex
+    chars of sha256. Both Spark and DuckDB compute the identical
+    value, so a simhash built on it is SQL-oracle-checkable (xxhash64
+    is Spark-only). 15 hex chars = 60 bits < 2^63, safe in a signed
+    long on both engines."""
+    return F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast("long")
+
+
+def simhash_from_tokens(toks, bits: int = 64, token_hash=None):
+    """SimHash from a materialized token array column: bit b = sign of
+    sum over tokens of ±1 (term frequency weighting via token
+    multiplicity). Built from aggregate() — no Python, no explode.
+
+    ``token_hash`` maps a token column to a long hash column; defaults
+    to xxhash64 (fast path). Use sha2_token_hash (+bits=60) when the
+    fingerprints must be reproducible outside Spark."""
+    hf = token_hash or F.xxhash64
+    hashes = F.transform(toks, lambda t: hf(t))
 
     def bit(b: int):
         votes = F.aggregate(
@@ -217,30 +231,45 @@ def simhash_from_tokens(toks, bits: int = 64):
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, mode: str = "simple"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    mode: str = "simple",
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
-    Candidates via 4×16-bit chunk banding (a pair within hamming 3 of
-    64 bits must agree exactly on ≥1 of 4 chunks — pigeonhole), then
-    exact popcount verify."""
-    sh = df.select(
-        F.col(id_col).alias("id"), tokens_col(text_col, mode).alias("_toks")
-    ).select("id", simhash_from_tokens(F.col("_toks")).alias("sim"))
-    chunks = sh.select(
-        "id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("sim", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                    )
-                    for c in range(4)
-                ]
+    Candidate banding is DERIVED FROM THE RADIUS: the fingerprint
+    splits into (max_hamming + 1) contiguous chunks, so any pair
+    within the radius must agree exactly on ≥1 chunk (pigeonhole) —
+    candidate generation is COMPLETE for the declared max_hamming, at
+    any radius. (The r1 version hardcoded 4 chunks, which is only
+    complete for radius ≤ 3.) Exact popcount verifies candidates.
+    Token-less docs carry no signal and are dropped."""
+    n_chunks = max_hamming + 1
+    bounds = [round(i * bits / n_chunks) for i in range(n_chunks + 1)]
+    sh = (
+        df.select(F.col(id_col).alias("id"), tokens_col(text_col, mode).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select("id", simhash_from_tokens(F.col("_toks"), bits, token_hash).alias("sim"))
+    )
+    chunk_structs = []
+    for c in range(n_chunks):
+        lo, hi = bounds[c], bounds[c + 1]
+        width = hi - lo
+        if width <= 0:
+            continue
+        mask = (1 << width) - 1
+        chunk_structs.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("sim", lo).bitwiseAND(F.lit(mask)).alias("key"),
             )
-        ).alias("cc"),
+        )
+    chunks = sh.select(
+        "id", "sim", F.explode(F.array(*chunk_structs)).alias("cc")
     ).select("id", "sim", "cc.chunk", "cc.key")
     x, y = chunks.alias("x"), chunks.alias("y")
     cand = (

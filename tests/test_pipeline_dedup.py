@@ -81,6 +81,61 @@ def test_simhash_pairs(df):
         assert 0 <= h <= 10
 
 
+def _py_simhash(text, bits=64):
+    """Driver-side simhash oracle built on the SAME token hash (Spark
+    xxhash64 via a tiny utility frame is avoided: recompute with
+    sha2_token_hash instead, which is pure-Python-replicable)."""
+    import hashlib
+
+    toks = tokenize_text(text, "simple")
+    votes = [0] * bits
+    for t in toks:
+        h = int(hashlib.sha256(t.encode()).hexdigest()[:15], 16)
+        for b in range(bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(bits):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out
+
+
+@pytest.mark.parametrize("max_h", [1, 3, 6, 12])
+def test_simhash_banding_complete_at_any_radius(df, max_h):
+    """Banding derives (max_h+1) chunks from the radius, so the
+    candidate set is pigeonhole-COMPLETE: result == exact all-pairs
+    hamming filter, at every radius (r1's fixed 4-chunk banding was
+    only complete to 3)."""
+    sims = {i: _py_simhash(t, bits=60) for i, t in DOCS}
+    want = {
+        (a, b): bin(sims[a] ^ sims[b]).count("1")
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if bin(sims[a] ^ sims[b]).count("1") <= max_h
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(
+            df, "id", "text", max_hamming=max_h, bits=60,
+            token_hash=dedup.sha2_token_hash,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_minhash_recall_vs_exact_ground_truth(df):
+    """Recall assertion (VERDICT r1 pipeline weakness #1): on planted
+    near-dups with Jaccard >= 0.5, 16x4 banding must recover the full
+    exact pair set, and every emitted pair must be exactly verified."""
+    exact = _py_jaccard_pairs(3, 0.5)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(df, "id", "text", threshold=0.5).collect()
+    }
+    assert got.keys() == exact.keys()
+    for k in exact:
+        assert got[k] == pytest.approx(exact[k], abs=1e-6)
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
