@@ -296,23 +296,47 @@ class CompressedIndex:
                 out[f] = (n, float(v["avgdl"]))
         return out
 
+    def _epoch_key(self) -> tuple:
+        """Changes whenever the index state advances (every op appends
+        a lineage entry) — the invalidation key for driver-side caches."""
+        return (
+            self.manifest.get("snapshot"),
+            len(self.manifest.get("lineage", [])),
+            tuple(self.manifest.get("ts_deltas", [])),
+        )
+
     def df_map(self, field: str, terms: list[str]) -> dict[str, int]:
         """Document frequency for a small term set — exact with or
         without pending deltas, via the live term_stats view (base df +
         per-snapshot signed df deltas maintained at merge time). Never
         decodes posting blocks on the driver: the scan is an IN-list
-        over the dictionary only."""
+        over the dictionary only.
+
+        Results are memoized per index epoch (including absent terms,
+        stored as 0), so a WARM query pays zero dictionary jobs — its
+        only Spark job is the scoring kernel itself."""
         uniq = sorted(set(terms))
         if not uniq:
             return {}
-        rows = (
-            self.term_stats.filter(
-                (F.col("field") == field) & F.col("term").isin(uniq)
+        key = self._epoch_key()
+        cached = getattr(self, "_df_cache", None)
+        if cached is None or cached[0] != key:
+            cached = (key, {})
+            self._df_cache = cached
+        fcache = cached[1].setdefault(field, {})
+        missing = [t for t in uniq if t not in fcache]
+        if missing:
+            rows = (
+                self.term_stats.filter(
+                    (F.col("field") == field) & F.col("term").isin(missing)
+                )
+                .select("term", "df")
+                .collect()
             )
-            .select("term", "df")
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows if int(r["df"]) > 0}
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                fcache[t] = got.get(t, 0)
+        return {t: fcache[t] for t in uniq if fcache[t] > 0}
 
 
 def save_index(
