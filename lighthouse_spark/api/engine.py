@@ -430,10 +430,22 @@ class SearchEngine:
         s, dd = scored.alias("_s"), d.alias("_d")
         joined = s.join(dd, F.col("_s.doc_id") == F.col(f"_d.{self._id}"), "inner")
         total = (F.col("_s.score") + F.col("_d._boost")).alias("score")
-        cols = req.include or [c for c in self.docs.columns]
+        # response projection (search.go:79-91): name+claimId base,
+        # `include` appends, `resolve` appends the fixed set,
+        # `source` returns everything. Column pruning reaches the docs
+        # parquet scan — at 100 TB the default response reads 2 stored
+        # columns, not the whole row.
+        cols = req.projection(self.docs.columns)
+        sort_fld = req.sort_by.lstrip("^") if req.sort_by else None
+        sort_extra = (
+            sort_fld
+            if sort_fld and sort_fld not in cols and sort_fld in self.docs.columns
+            else None
+        )
         out = joined.select(
             F.col("_s.doc_id").alias("doc_id") if self._id not in cols else F.col(f"_d.{self._id}"),
             *[F.col(f"_d.{c}").alias(c) for c in cols if c != self._id],
+            *([F.col(f"_d.{sort_extra}").alias(sort_extra)] if sort_extra else []),
             total,
         )
         if round_score is not None:
@@ -443,8 +455,10 @@ class SearchEngine:
             # search.go:115: Sort(field, ascending=strings.Contains(sortBy,
             # "^")) — bare field sorts DESC, ^field sorts ASC.
             asc = req.sort_by.startswith("^")
-            fld = req.sort_by.lstrip("^")
-            order = [F.col(fld).asc() if asc else F.col(fld).desc(), F.col(tie).asc()]
+            order = [
+                F.col(sort_fld).asc() if asc else F.col(sort_fld).desc(),
+                F.col(tie).asc(),
+            ]
         else:
             order = [F.col("score").desc(), F.col(tie).asc()]
         out = out.orderBy(*order)
@@ -452,5 +466,7 @@ class SearchEngine:
             # offset+limit plans as one TakeOrderedAndProject(from+size,
             # from) — per-partition heaps, no single-partition window;
             # from <= 9,999 (search.go:96) bounds the heap.
-            return out.offset(req.from_).limit(req.size)
-        return out.limit(req.size)
+            out = out.offset(req.from_).limit(req.size)
+        else:
+            out = out.limit(req.size)
+        return out.drop(sort_extra) if sort_extra else out

@@ -20,6 +20,15 @@ CAD_TYPES = ("SKP", "simplify3d_stl")
 
 QUOTED_RE = re.compile(r'"([^"]*)"')
 
+# projection constants (search.go:79-91): every response carries
+# name+claimId; `include` appends caller fields; `resolve` appends the
+# fixed resolve column set the desktop app needs.
+BASE_INCLUDES = ("name", "claim_id")                     # search.go:79
+RESOLVE_INCLUDES = (                                     # search.go:88-90
+    "channel", "channel_claim_id", "title", "thumbnail_url",
+    "release_time", "fee", "nsfw", "duration",
+)
+
 
 class ValidationError(ValueError):
     pass
@@ -41,9 +50,27 @@ class SearchRequest:
     nsfw: bool | None = None
     free_only: bool = False
     related_to: str | None = None       # doc to source MLT terms from
-    sort_by: str | None = None          # "field" asc / "^field" desc
+    sort_by: str | None = None          # "field" DESC / "^field" ASC (search.go:115)
     include: list[str] = field(default_factory=list)
+    source: bool = False                # return full stored doc (search.go:85-87)
+    resolve: bool = False               # append RESOLVE_INCLUDES (search.go:88-90)
     explain: bool = False
+
+    def projection(self, available: list[str]) -> list[str]:
+        """The response column set (search.go:79-91): name+claimId,
+        plus `include`, plus the resolve set — intersected with the
+        corpus's actual columns; `source=True` returns everything."""
+        if self.source:
+            return list(available)
+        cols = list(BASE_INCLUDES) + list(self.include)
+        if self.resolve:
+            cols += list(RESOLVE_INCLUDES)
+        seen, out = set(), []
+        for c in cols:
+            if c in available and c not in seen:
+                seen.add(c)
+                out.append(c)
+        return out or list(available)
 
     def validate(self) -> None:
         if self.s is None or len(self.s) < 3 or len(self.s) > 99_999:

@@ -60,17 +60,32 @@ class SearchService:
 
     def search(self, req: SearchRequest) -> list[dict]:
         """Cached /search: returns collected hit dicts (the JSON-array
-        response shape, search.go:122-139)."""
+        response shape, search.go:122-139). Duration lands in the
+        SearchDuration histogram keyed by (type, term_count) — exactly
+        the reference's labels (search.go:68-71, 144-147)."""
+        from lighthouse_spark.api import metrics, special
+        from lighthouse_spark.api.request import truncate_query
+
+        start = time.time()
         key = "search:" + repr(req)
-        return self.cache.fetch(
+        out = self.cache.fetch(
             key, lambda: [r.asDict() for r in self.engine.search(req).collect()]
         )
+        search_type = "related_content" if req.related_to is not None else "general"
+        s = special.rewrite(truncate_query(req.s))
+        metrics.SearchDuration.with_labels(search_type, len(s.split(" "))).observe(
+            time.time() - start
+        )
+        return out
 
     def autocomplete(self, req: AutoCompleteRequest) -> list[str]:
         """Cached /autocomplete: deduped name list (auto_complete.go:111-131)."""
+        from lighthouse_spark.api import metrics
+
+        start = time.time()
         key = "ac:" + repr(req)
         name_col = self.engine.fields.name
-        return self.cache.fetch(
+        out = self.cache.fetch(
             key,
             lambda: [
                 r[name_col]
@@ -79,10 +94,14 @@ class SearchService:
                 ).collect()
             ],
         )
+        metrics.AutoCompleteDuration.observe(time.time() - start)
+        return out
 
     def status(self) -> dict:
         """/status analogue (A2; app/actions/status.go:30-55): doc
         count + per-field corpus stats + index health."""
+        from lighthouse_spark.api import metrics
+
         idx = self.engine.index
         n_docs = idx.docs.count()
         return {
@@ -93,6 +112,7 @@ class SearchService:
                 for f, (n, a) in idx.corpus_stats().items()
             },
             "cache": {"hits": self.cache.hits, "misses": self.cache.misses},
+            "metrics": metrics.snapshot(),
         }
 
     def explain(self, req: SearchRequest, k: int = 10) -> DataFrame:

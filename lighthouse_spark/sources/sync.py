@@ -531,31 +531,41 @@ def sync(
     for the whole batch — routing, max-cursor, and the id lists
     apply_incremental needs all come from it; no limit/count/max jobs.
     """
-    state = SyncState.load(state_path)
-    start = int(time.time())
-    batch = plan_batch(source, state, id_col, modified_col)
-    doc_col = cindex.manifest["doc_id_col"]
-    meta = batch.select(
-        F.col(id_col).alias("_cur"),
-        F.col(doc_col).cast("long").alias("_id"),
-        F.col(bid_state_col).alias("_bs"),
-    ).collect()
-    if not meta:
+    from lighthouse_spark.api import metrics
+
+    metrics.JobLoad.inc("claim_sync")  # chainquery.go:80-82
+    t_job = time.time()
+    try:
+        state = SyncState.load(state_path)
+        start = int(time.time())
+        batch = plan_batch(source, state, id_col, modified_col)
+        doc_col = cindex.manifest["doc_id_col"]
+        meta = batch.select(
+            F.col(id_col).alias("_cur"),
+            F.col(doc_col).cast("long").alias("_id"),
+            F.col(bid_state_col).alias("_bs"),
+        ).collect()
+        if not meta:
+            state.last_sync_unix = start
+            state.save(state_path)
+            return cindex
+        dead = {"Spent", "Expired"}
+        up_ids = [int(r["_id"]) for r in meta if r["_bs"] not in dead]
+        del_ids = [int(r["_id"]) for r in meta if r["_bs"] in dead]
+        upserts = (
+            batch.filter(~F.col(bid_state_col).isin(*sorted(dead))) if up_ids else None
+        )
+        cindex = apply_incremental(
+            cindex, upserts=upserts, up_id_list=up_ids, del_id_list=del_ids
+        )
+        state.last_id = max(int(r["_cur"]) for r in meta)
         state.last_sync_unix = start
+        state.started_unix = state.started_unix or start
         state.save(state_path)
         return cindex
-    dead = {"Spent", "Expired"}
-    up_ids = [int(r["_id"]) for r in meta if r["_bs"] not in dead]
-    del_ids = [int(r["_id"]) for r in meta if r["_bs"] in dead]
-    upserts = batch.filter(~F.col(bid_state_col).isin(*sorted(dead))) if up_ids else None
-    cindex = apply_incremental(
-        cindex, upserts=upserts, up_id_list=up_ids, del_id_list=del_ids
-    )
-    state.last_id = max(int(r["_cur"]) for r in meta)
-    state.last_sync_unix = start
-    state.started_unix = state.started_unix or start
-    state.save(state_path)
-    return cindex
+    finally:
+        metrics.JobLoad.dec("claim_sync")
+        metrics.job(t_job, "claim_sync")
 
 
 # --- blocked/filtered lists (P12; blocked.go:25-179) ----------------------
@@ -567,6 +577,9 @@ def delete_blocked(
 ) -> CompressedIndex:
     """Remove blocked docs; entries with a channel id expand to every
     doc of that channel (blocked.go:122-141's channel expansion)."""
+    from lighthouse_spark.api import metrics
+
+    t_job = time.time()
     docs = cindex.docs
     id_col = cindex.manifest["doc_id_col"]
     parts = []
@@ -583,7 +596,9 @@ def delete_blocked(
         )
     if not parts:
         return cindex
-    return apply_incremental(cindex, delete_ids=_union(parts).distinct())
+    out = apply_incremental(cindex, delete_ids=_union(parts).distinct())
+    metrics.job(t_job, "blockedlist_sync")  # blocked.go:58-60
+    return out
 
 
 # --- enrichment counts (S11; views.go/subs.go) -----------------------------

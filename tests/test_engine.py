@@ -89,20 +89,44 @@ def test_pagination_consistent(engine):
 def test_sort_by_field(engine):
     # search.go:115: ascending=strings.Contains(sortBy, "^") — bare
     # field sorts DESC, ^field sorts ASC.
-    req = SearchRequest(s="crypto", size=10, sort_by="effective_amount")
+    inc = ["effective_amount"]
+    req = SearchRequest(s="crypto", size=10, sort_by="effective_amount", include=inc)
     rows = engine.search(req).select("effective_amount").collect()
     vals = [r["effective_amount"] for r in rows]
     assert vals == sorted(vals, reverse=True)
 
-    req = SearchRequest(s="crypto", size=10, sort_by="^effective_amount")
+    req = SearchRequest(s="crypto", size=10, sort_by="^effective_amount", include=inc)
     rows = engine.search(req).select("effective_amount").collect()
     vals = [r["effective_amount"] for r in rows]
     assert vals == sorted(vals)
 
+    # sorting works even when the field is NOT in the projection
+    req = SearchRequest(s="crypto", size=10, sort_by="^effective_amount")
+    rows = engine.search(req).collect()
+    assert rows and "effective_amount" not in rows[0].asDict()
+
+
+def test_default_projection_is_name_claimid(engine):
+    """search.go:79: the base response carries name+claimId only;
+    resolve appends the fixed column set (search.go:88-90)."""
+    rows = engine.search(SearchRequest(s="crypto", size=3)).collect()
+    assert rows
+    got = set(rows[0].asDict().keys())
+    assert {"name", "claim_id", "score"} <= got
+    assert "description" not in got
+
+    rows = engine.search(SearchRequest(s="crypto", size=3, resolve=True)).collect()
+    got = set(rows[0].asDict().keys())
+    assert {"channel", "channel_claim_id", "title", "thumbnail_url",
+            "release_time", "fee", "nsfw"} <= got
+
+    rows = engine.search(SearchRequest(s="crypto", size=3, source=True)).collect()
+    assert "description" in rows[0].asDict()
+
 
 def test_quoted_phrase_is_filter(engine, claims_pd):
     # results must contain the exact phrase in >=1 searchable field
-    req = SearchRequest(s='interesting "amazing facts"', size=25)
+    req = SearchRequest(s='interesting "amazing facts"', size=25, source=True)
     rows = engine.search(req).collect()
     assert rows, "quoted-phrase query returned nothing"
     for r in rows:
@@ -122,7 +146,8 @@ def test_validation_errors(engine):
 
 
 def test_media_type_filter(engine):
-    req = SearchRequest(s="crypto news", size=25, media_type="video")
+    req = SearchRequest(s="crypto news", size=25, media_type="video",
+                        include=["content_type"])
     rows = engine.search(req).select("content_type").collect()
     assert rows and all(r["content_type"].startswith("video/") for r in rows)
     # invalid media type -> match none (query.go:279-281)
@@ -132,7 +157,8 @@ def test_media_type_filter(engine):
 
 def test_related_to_branch(engine, claims_pd):
     some = claims_pd[claims_pd.claim_type == "stream"].iloc[0]
-    req = SearchRequest(s="xxx", size=10, related_to=some["claim_id"])
+    req = SearchRequest(s="xxx", size=10, related_to=some["claim_id"],
+                        include=["claim_type"])
     rows = engine.search(req).collect()
     # only streams, never the trivial empty
     assert all(r["claim_type"] == "stream" for r in rows)

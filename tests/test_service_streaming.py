@@ -73,6 +73,23 @@ def test_service_status(service):
     assert "name" in st["fields"] and st["fields"]["name"]["n_docs"] > 0
 
 
+def test_metrics_histograms(service):
+    """SearchDuration keyed by (type, term_count) + AutoCompleteDuration
+    (app/internal/metrics/metrics.go:20-33; observed search.go:144-147)."""
+    service.search(SearchRequest(s="metrics probe query", size=3))
+    service.autocomplete(AutoCompleteRequest(s="me", size=3))
+    m = service.status()["metrics"]
+    # "metrics probe query" = 3 space-split terms, general search type
+    sd = m["search_duration"]
+    assert "general|3" in sd and sd["general|3"]["count"] >= 1
+    assert sd["general|3"]["sum"] > 0
+    assert m["auto_complete_duration"]["count"] >= 1
+    # cumulative buckets are monotone and end at the total count
+    b = sd["general|3"]["buckets"]
+    vals = list(b.values())
+    assert vals == sorted(vals) and vals[-1] == sd["general|3"]["count"]
+
+
 def test_explain_breakdown_sums_to_score(service):
     req = SearchRequest(s="crypto news", size=5)
     hits = service.engine.search(req).select("doc_id", "score").collect()
