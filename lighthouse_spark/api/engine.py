@@ -221,6 +221,10 @@ class SearchEngine:
         return fused.execute(self.index, ms, ps, dfmaps, gate_df)
 
     def _prefetch(self, s: str, terms: list[str]) -> None:
+        """ONE dictionary scan per request: df for every query/compressed
+        term (absent recorded as 0) AND the fuzzy expansions with their
+        dfs, across all searchable fields (expand.fuzzy_and_df). No
+        clause ever goes back to the dictionary."""
         comp_terms = self._terms(s.replace(" ", ""))
         phys_fields = [
             getattr(self.fields, lg)
@@ -228,13 +232,15 @@ class SearchEngine:
             if self._has(lg)
         ]
         self._phys_fields = phys_fields
-        self._df_prefetch = search.prefetch_df(
-            self.index, phys_fields, terms + comp_terms
-        )
         if self.enable_fuzzy:
-            self._fuzzy_prefetch = expand.expand_fuzzy_fields(
+            self._df_prefetch, self._fuzzy_prefetch = expand.fuzzy_and_df(
                 self.index, phys_fields, terms + comp_terms
             )
+        else:
+            self._df_prefetch = search.prefetch_df(
+                self.index, phys_fields, terms + comp_terms
+            )
+            self._fuzzy_prefetch = None
 
     def _df_for_specs(self, ms, ps) -> dict[str, dict[str, int]]:
         """Ensure df stats cover every spec term (fuzzy expansions may

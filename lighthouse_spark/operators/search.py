@@ -137,7 +137,9 @@ def phrase(
             (F.col("field") == field) & F.col("term").isin(uniq)
         ).select("term", "df")
         df_map = {r["term"]: int(r["df"]) for r in ts.collect()}
-    if any(t not in df_map for t in terms):
+    # absent terms may be recorded as df=0 (prefetch) or missing —
+    # either way the phrase cannot match anywhere
+    if any(not df_map.get(t) for t in terms):
         return _empty_scored(index)
     # Lucene PhraseQuery idf: sum over term *occurrences* in the phrase.
     idf_sum = sum(scoring.idf_py(df_map[t], n) for t in terms)
