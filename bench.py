@@ -133,6 +133,11 @@ def main() -> None:
         ci = sync_mod.apply_incremental(ci, upserts=upd)
         timings["incremental_upsert_200"] = round(time.time() - t0, 3)
 
+        # ---- compaction (block decode+re-encode merge, no re-tokenize) ----
+        t0 = time.time()
+        ci = sync_mod.compact(ci)
+        timings["compaction"] = round(time.time() - t0, 3)
+
         # ---- relational legs at this sf ----
         import __spark_entry__ as entry
 

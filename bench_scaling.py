@@ -92,11 +92,15 @@ def _best(a: dict, b: dict) -> dict:
 def main() -> None:
     # interleave the two levels (N, 4N, N, 4N) and take each level's
     # best run: single-machine background noise drifts on the minutes
-    # scale and would otherwise bias whichever level ran later
+    # scale and would otherwise bias whichever level ran later.
+    # SCALING_ROUNDS=1 runs each level once (each child still does a
+    # warmup build + best-of-2 timed builds internally).
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
     small = run_level(N_SMALL)
     big = run_level(N_SMALL * 4)
-    small = _best(small, run_level(N_SMALL))
-    big = _best(big, run_level(N_SMALL * 4))
+    for _ in range(rounds - 1):
+        small = _best(small, run_level(N_SMALL))
+        big = _best(big, run_level(N_SMALL * 4))
     identical = small["results"] == big["results"]
     eff = (big["docs_per_sec"] / small["docs_per_sec"]) / 4.0
     out = {

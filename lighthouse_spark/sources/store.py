@@ -395,6 +395,10 @@ def save_index(
     (
         index.docs.withColumn("_bucket", bucket_col)
         .observe(obs_docs, *docs_aggs)
+        # co-locate each bucket before the write: one file per bucket,
+        # so a later bucket rewrite reads/writes whole files instead of
+        # input-partitions × n_buckets slivers
+        .repartition(n_buckets, F.col("_bucket"))
         .write.mode("overwrite")
         .partitionBy("_bucket")
         .parquet(f"{path}/{dirs['docs']}")

@@ -292,6 +292,7 @@ def apply_incremental(
                 "_bucket", F.pmod(F.col(id_col).cast("long"), F.lit(nb)).cast("int")
             )
             .observe(obs_b, *b_aggs)
+            .repartition(max(len(touched), 1), F.col("_bucket"))
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(f"{cindex.path}/{new_docs_dir}")
@@ -652,6 +653,7 @@ def apply_counts(cindex: CompressedIndex, counts: DataFrame) -> CompressedIndex:
             .withColumn(
                 "_bucket", F.pmod(F.col(id_col).cast("long"), F.lit(nb)).cast("int")
             )
+            .repartition(max(len(touched), 1), F.col("_bucket"))
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(f"{cindex.path}/{new_dir}")

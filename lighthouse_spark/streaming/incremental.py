@@ -50,21 +50,29 @@ def run_available_now(
     state = {"ci": cindex}
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
+        # ONE metadata collect per micro-batch (bounded by batch size):
+        # routing + the id lists apply_incremental needs — no
+        # isEmpty/count probe jobs
+        doc_col = state["ci"].manifest["doc_id_col"]
+        routed = bid_state_col and bid_state_col in batch.columns
+        sel = [F.col(doc_col).cast("long").alias("_id")]
+        if routed:
+            sel.append(F.col(bid_state_col).alias("_bs"))
+        meta = batch.select(*sel).collect()
+        if not meta:
             return
-        if bid_state_col and bid_state_col in batch.columns:
-            upserts, deletes = sync_mod.route_batch(batch, bid_state_col)
-        else:
-            upserts, deletes = batch, None
-        del_ids = None
-        if deletes is not None:
-            del_ids = deletes.select(
-                F.col(state["ci"].manifest["doc_id_col"]).alias("doc_id")
+        dead = {"Spent", "Expired"}
+        up_ids = [int(r["_id"]) for r in meta if not routed or r["_bs"] not in dead]
+        del_ids = [int(r["_id"]) for r in meta if routed and r["_bs"] in dead]
+        upserts = None
+        if up_ids:
+            upserts = (
+                batch.filter(~F.col(bid_state_col).isin(*sorted(dead)))
+                if routed
+                else batch
             )
-            if del_ids.isEmpty():
-                del_ids = None
         state["ci"] = sync_mod.apply_incremental(
-            state["ci"], upserts=upserts, delete_ids=del_ids
+            state["ci"], upserts=upserts, up_id_list=up_ids, del_id_list=del_ids
         )
 
     stream = (

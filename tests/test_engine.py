@@ -145,6 +145,21 @@ def test_validation_errors(engine):
         engine.search(SearchRequest(s="abc", from_=10000))
 
 
+def test_special_rewrite_map():
+    """special.go:5-41 shipped verbatim, including the upstream quirk
+    that mixed-case keys never match (lookup lowercases the query but
+    not the keys)."""
+    from lighthouse_spark.api import special
+
+    assert special.rewrite("Silvano Trotta") == "@SilvanoTrotta"
+    assert special.rewrite("TIM POOL") == "timcast"
+    assert special.rewrite("planètes 360") == "planetes360"
+    # dead entries (uppercase keys) are unreachable — as in the reference
+    assert special.rewrite("Alex Jones") == "Alex Jones"
+    assert special.rewrite("PostMillennial") == "PostMillennial"
+    assert special.rewrite("anything else") == "anything else"
+
+
 def test_media_type_filter(engine):
     req = SearchRequest(s="crypto news", size=25, media_type="video",
                         include=["content_type"])
