@@ -361,117 +361,139 @@ def save_index(
     os.makedirs(path, exist_ok=True)
     dirs = {k: f"{k}_v_{snap}" for k in ("docs", "doc_stats", "term_stats", "postings")}
 
-    # ONE tokenize pass: materialize the flat postings, then derive
-    # doc_stats / term_stats / corpus scalars from the persisted frame
-    # (the naive lineage would re-run the tokenizer UDF once per
-    # downstream action — 5x the CPU and terrible scaling).
-    # When the index carries a cached per-doc aggregate (cache_agg),
-    # postings re-derive from it with a cheap JVM explode — don't
-    # double-cache; otherwise persist the flat postings so downstream
-    # actions don't re-run the tokenizer.
+    # ONE tokenize pass, materialized UP FRONT: the per-doc aggregate
+    # (cache_agg) or the flat postings are persisted and counted once,
+    # so the independent writers below can run CONCURRENTLY without
+    # racing to compute the tokenizer lineage. (The naive lineage would
+    # re-run the tokenizer UDF once per downstream action — 5x the CPU.)
     flat = index.postings
-    if not index._intermediates:
+    if index._intermediates:
+        for a in index._intermediates:
+            a.count()
+    else:
         flat = flat.persist()
+        flat.count()
     # doc_stats lineage is one row per doc pre-explode (no shuffle);
     # term_stats partial-aggregates off the flat postings
     doc_stats = index.doc_stats
     term_stats = flat.groupBy("field", "term").agg(F.count("*").alias("df"))
 
-    # corpus scalars + doc count ride along the writes as Observations
-    # — no separate aggregation jobs (every serial job adds scheduling
-    # latency that caps N→4N scaling efficiency)
+    # Every scalar (doc/bucket counts, corpus stats, shard metrics)
+    # rides its write as an Observation — zero separate aggregation
+    # jobs. The three independent writes (docs / doc_stats /
+    # term_stats) are submitted from driver threads and run in
+    # parallel; only the postings encode waits, and only on doc_stats
+    # (it needs avgdl). Serial scheduling latency is what caps N→4N
+    # scaling efficiency, so the critical path is tokenize → doc_stats
+    # → encode, with everything else overlapped.
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Observation
 
     field_names = sorted(index.fields)
-    # docs are hash-bucketed by pmod(doc_id, n_buckets) so incremental
-    # sync can MERGE by rewriting only touched buckets; per-bucket row
-    # counts ride along the write as Observations (no count jobs).
     obs_docs = Observation()
-    bucket_col = F.pmod(F.col(index.doc_id_col).cast("long"), F.lit(n_buckets)).cast("int")
-    docs_aggs = [
-        F.count(F.when(F.col("_bucket") == b, F.lit(1))).alias(f"b_{b}")
-        for b in range(n_buckets)
-    ]
-    (
-        index.docs.withColumn("_bucket", bucket_col)
-        .observe(obs_docs, *docs_aggs)
-        # co-locate each bucket before the write: one file per bucket,
-        # so a later bucket rewrite reads/writes whole files instead of
-        # input-partitions × n_buckets slivers
-        .repartition(n_buckets, F.col("_bucket"))
-        .write.mode("overwrite")
-        .partitionBy("_bucket")
-        .parquet(f"{path}/{dirs['docs']}")
-    )
+    obs_ds = Observation()
+
+    def w_docs():
+        # docs hash-bucketed by pmod(doc_id, n_buckets) so incremental
+        # sync can MERGE by rewriting only touched buckets; one file
+        # per bucket (repartition), per-bucket counts via Observation
+        bucket_col = F.pmod(
+            F.col(index.doc_id_col).cast("long"), F.lit(n_buckets)
+        ).cast("int")
+        docs_aggs = [
+            F.count(F.when(F.col("_bucket") == b, F.lit(1))).alias(f"b_{b}")
+            for b in range(n_buckets)
+        ]
+        (
+            index.docs.withColumn("_bucket", bucket_col)
+            .observe(obs_docs, *docs_aggs)
+            .repartition(n_buckets, F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(f"{path}/{dirs['docs']}")
+        )
+
+    def w_doc_stats():
+        ds_aggs = []
+        for fn in field_names:
+            cond = F.col("field") == fn
+            ds_aggs.append(F.sum(F.when(cond, F.col("dl"))).alias(f"dl_{fn}"))
+            ds_aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"n_{fn}"))
+        (
+            doc_stats.observe(obs_ds, *ds_aggs)
+            .write.mode("overwrite")
+            .parquet(f"{path}/{dirs['doc_stats']}")
+        )
+
+    def w_term_stats():
+        # term dictionary: range-partitioned + sorted by term for pruning
+        tp = term_partitions or max(2, n_shards // 2)
+        (
+            term_stats.repartitionByRange(tp, "field", "term")
+            .sortWithinPartitions("field", "term")
+            .write.mode("overwrite")
+            .parquet(f"{path}/{dirs['term_stats']}")
+        )
+
+    obs_blocks = Observation()
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_docs = ex.submit(w_docs)
+        f_ds = ex.submit(w_doc_stats)
+        f_ts = ex.submit(w_term_stats)
+        f_ds.result()  # corpus stats gate the encode
+        vals = obs_ds.get
+        corpus = {}
+        total_dls = {}
+        for fn in field_names:
+            n = int(vals[f"n_{fn}"] or 0)
+            dl = int(vals[f"dl_{fn}"] or 0)
+            if n:
+                corpus[fn] = (n, dl / n)
+                total_dls[fn] = dl
+
+        # postings blocks: group by (shard, field) and encode in pandas
+        avgdl_map = {f: v[1] for f, v in corpus.items()}
+        p = flat.withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+        )
+        if "positions" not in flat.columns:
+            p = p.withColumn("positions", F.lit(None).cast("array<int>"))
+
+        def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _encode_group(pdf, block_size, avgdl_map)
+
+        blocks = p.groupBy("shard", "field").applyInPandas(enc, POSTING_SCHEMA)
+        b_aggs = []
+        for s in range(n_shards):
+            cond = F.col("shard") == s
+            b_aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"bl_{s}"))
+            b_aggs.append(F.sum(F.when(cond, F.col("n_docs"))).alias(f"po_{s}"))
+        (
+            blocks.observe(obs_blocks, *b_aggs)
+            .repartition("shard")
+            .sortWithinPartitions("field", "term", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{path}/{dirs['postings']}")
+        )
+        f_docs.result()
+        f_ts.result()
+    if not index._intermediates:
+        flat.unpersist()
+    index.unpersist_intermediates()
+
     dvals = obs_docs.get
     bucket_docs = {
         str(b): int(dvals[f"b_{b}"]) for b in range(n_buckets) if int(dvals[f"b_{b}"] or 0)
     }
     docs_buckets = {b: f"{dirs['docs']}/_bucket={b}" for b in bucket_docs}
     n_docs_total = sum(bucket_docs.values())
-
-    obs_ds = Observation()
-    ds_aggs = []
-    for fn in field_names:
-        cond = F.col("field") == fn
-        ds_aggs.append(F.sum(F.when(cond, F.col("dl"))).alias(f"dl_{fn}"))
-        ds_aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"n_{fn}"))
-    (
-        doc_stats.observe(obs_ds, *ds_aggs)
-        .write.mode("overwrite")
-        .parquet(f"{path}/{dirs['doc_stats']}")
-    )
-    vals = obs_ds.get
-    corpus = {}
-    total_dls = {}
-    for fn in field_names:
-        n = int(vals[f"n_{fn}"] or 0)
-        dl = int(vals[f"dl_{fn}"] or 0)
-        if n:
-            corpus[fn] = (n, dl / n)
-            total_dls[fn] = dl
-
-    # term dictionary: range-partitioned + sorted by term for pruning
-    tp = term_partitions or max(2, n_shards // 2)
-    (
-        term_stats.repartitionByRange(tp, "field", "term")
-        .sortWithinPartitions("field", "term")
-        .write.mode("overwrite")
-        .parquet(f"{path}/{dirs['term_stats']}")
-    )
-
-    # postings blocks: group by (shard, field) and encode in pandas
-    avgdl_map = {f: v[1] for f, v in corpus.items()}
-    p = flat.withColumn(
-        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
-    )
-    has_pos = "positions" in flat.columns
-    if not has_pos:
-        p = p.withColumn("positions", F.lit(None).cast("array<int>"))
-
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_group(pdf, block_size, avgdl_map)
-
-    blocks = p.groupBy("shard", "field").applyInPandas(enc, POSTING_SCHEMA)
-    (
-        blocks.repartition("shard")
-        .sortWithinPartitions("field", "term", "block_id")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(f"{path}/{dirs['postings']}")
-    )
-    if not index._intermediates:
-        flat.unpersist()
-    index.unpersist_intermediates()
-
-    # metrics from what we just wrote (cheap metadata-ish aggregations)
-    bdf = spark.read.parquet(f"{path}/{dirs['postings']}")
-    mrows = bdf.groupBy("shard").agg(
-        F.count("*").alias("blocks"), F.sum("n_docs").alias("postings")
-    ).collect()
+    bvals = obs_blocks.get
     shard_metrics = {
-        int(r["shard"]): {"blocks": int(r["blocks"]), "postings": int(r["postings"])}
-        for r in mrows
+        s: {"blocks": int(bvals[f"bl_{s}"] or 0), "postings": int(bvals[f"po_{s}"] or 0)}
+        for s in range(n_shards)
+        if int(bvals[f"bl_{s}"] or 0)
     }
 
     manifest = {
