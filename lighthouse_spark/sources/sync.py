@@ -200,12 +200,27 @@ def apply_incremental(
             "field", "term", (-F.col("df")).cast("long").alias("df")
         )
 
-    # ---- delta postings + doc_stats for upserts (added n/dl ride the
-    # doc_stats write as an Observation — no extra aggregation job)
-    added = []
+    # ---- the four delta writes are mutually independent — submit them
+    # from driver threads (like save_index). The delta index's cached
+    # per-doc aggregate is materialized first so concurrent writers
+    # don't race to compute the tokenizer lineage.
+    delta_idx = None
     pos_ts = None
+    obs_ds = Observation()
+    field_names = sorted(fields)
     if upserts is not None:
         delta_idx = build_index(upserts, id_col, fields, man["analyzer_mode"], cache_agg=True)
+        if delta_idx._intermediates:
+            for a in delta_idx._intermediates:
+                a.count()
+        else:
+            delta_idx.postings = delta_idx.postings.persist()
+            delta_idx.postings.count()
+        pos_ts = delta_idx.term_stats.select(
+            "field", "term", F.col("df").cast("long").alias("df")
+        )
+
+    def w_blocks():
         avgdl_now = {
             f: (v["total_dl"] / v["n_docs"] if v["n_docs"] else 1.0)
             for f, v in man["corpus"].items()
@@ -223,8 +238,7 @@ def apply_incremental(
         blocks = p.groupBy("shard", "field").applyInPandas(enc, POSTING_SCHEMA)
         blocks.write.mode("overwrite").parquet(f"{cindex.path}/postings_delta/{snap}")
 
-        obs_ds = Observation()
-        field_names = sorted(fields)
+    def w_doc_stats():
         ds_aggs = []
         for fn in field_names:
             cond = F.col("field") == fn
@@ -235,20 +249,10 @@ def apply_incremental(
             .write.mode("overwrite")
             .parquet(f"{cindex.path}/doc_stats_delta/{snap}")
         )
-        vals = obs_ds.get
-        added = [
-            (fn, int(vals[f"n_{fn}"] or 0), int(vals[f"dl_{fn}"] or 0))
-            for fn in field_names
-            if int(vals[f"n_{fn}"] or 0)
-        ]
-        pos_ts = delta_idx.term_stats.select(
-            "field", "term", F.col("df").cast("long").alias("df")
-        )
 
-    # ---- signed df deltas for the live dictionary
     ts_frames = [f for f in (neg_ts, pos_ts) if f is not None]
-    wrote_ts = False
-    if ts_frames:
+
+    def w_ts_delta():
         (
             _union(ts_frames)
             .groupBy("field", "term")
@@ -257,14 +261,14 @@ def apply_incremental(
             .write.mode("overwrite")
             .parquet(f"{cindex.path}/term_stats_delta/{snap}")
         )
-        wrote_ts = True
-    if upserts is not None:
-        delta_idx.unpersist_intermediates()
 
     # ---- docs-table MERGE: rewrite ONLY the buckets this batch
     # touches (Iceberg MERGE INTO's file-level rewrite without
     # Iceberg); untouched buckets keep their current versioned dirs.
     bucket_map = man.get("docs_buckets")
+    new_docs_dir = f"docs_v_{snap}"
+    obs_b = Observation()
+    obs_n = Observation()
     if bucket_map is not None:
         bucket_map = dict(bucket_map)
         bucket_docs = dict(man.get("bucket_docs", {}))
@@ -280,23 +284,62 @@ def apply_incremental(
             parts.append(old_b.select(doc_cols).filter(~F.col(id_col).isin(aff_ids)))
         if upserts is not None:
             parts.append(upserts.select(doc_cols))
-        new_docs_dir = f"docs_v_{snap}"
-        obs_b = Observation()
-        b_aggs = [
-            F.count(F.when(F.col("_bucket") == b, F.lit(1))).alias(f"b_{b}")
-            for b in touched
-        ]
-        (
-            _union(parts)
-            .withColumn(
-                "_bucket", F.pmod(F.col(id_col).cast("long"), F.lit(nb)).cast("int")
+
+        def w_docs():
+            b_aggs = [
+                F.count(F.when(F.col("_bucket") == b, F.lit(1))).alias(f"b_{b}")
+                for b in touched
+            ]
+            (
+                _union(parts)
+                .withColumn(
+                    "_bucket", F.pmod(F.col(id_col).cast("long"), F.lit(nb)).cast("int")
+                )
+                .observe(obs_b, *b_aggs)
+                .repartition(max(len(touched), 1), F.col("_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(f"{cindex.path}/{new_docs_dir}")
             )
-            .observe(obs_b, *b_aggs)
-            .repartition(max(len(touched), 1), F.col("_bucket"))
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(f"{cindex.path}/{new_docs_dir}")
-        )
+    else:
+        # legacy (un-bucketed) layout: full rewrite into a new dir
+        def w_docs():
+            docs = cindex.docs
+            new_docs = docs.filter(~F.col(id_col).isin(aff_ids))
+            if upserts is not None:
+                new_docs = new_docs.unionByName(upserts.select(docs.columns))
+            (
+                new_docs.observe(obs_n, F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .parquet(f"{cindex.path}/{new_docs_dir}")
+            )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    writers = [w_docs]
+    if upserts is not None:
+        writers += [w_blocks, w_doc_stats]
+    wrote_ts = bool(ts_frames)
+    if wrote_ts:
+        writers.append(w_ts_delta)
+    with ThreadPoolExecutor(max_workers=len(writers)) as ex:
+        futures = [ex.submit(w) for w in writers]
+        for f in futures:
+            f.result()
+
+    added = []
+    if upserts is not None:
+        vals = obs_ds.get
+        added = [
+            (fn, int(vals[f"n_{fn}"] or 0), int(vals[f"dl_{fn}"] or 0))
+            for fn in field_names
+            if int(vals[f"n_{fn}"] or 0)
+        ]
+        delta_idx.unpersist_intermediates()
+        if not delta_idx._intermediates:
+            delta_idx.postings.unpersist()
+
+    if bucket_map is not None:
         bvals = obs_b.get
         for b in touched:
             nrows = int(bvals[f"b_{b}"] or 0)
@@ -310,18 +353,6 @@ def apply_incremental(
         man["bucket_docs"] = bucket_docs
         n_docs_total = sum(bucket_docs.values())
     else:
-        # legacy (un-bucketed) layout: full rewrite into a new dir
-        docs = cindex.docs
-        new_docs = docs.filter(~F.col(id_col).isin(aff_ids))
-        if upserts is not None:
-            new_docs = new_docs.unionByName(upserts.select(docs.columns))
-        new_docs_dir = f"docs_v_{snap}"
-        obs_n = Observation()
-        (
-            new_docs.observe(obs_n, F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .parquet(f"{cindex.path}/{new_docs_dir}")
-        )
         n_docs_total = int(obs_n.get["n"])
         man.setdefault(
             "dirs", {k: k for k in ("docs", "doc_stats", "term_stats", "postings")}
