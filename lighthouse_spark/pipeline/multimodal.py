@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
 The Spark-side mechanics are real — typed schema, Arrow-batched
-mapInPandas decode/feature-extract, partition-size-aware batching —
-while the actual media decode is STUBBED (this container ships no
-image/audio libs): `decoder="real"` raises NotImplementedError at the
-point a deployment would call into PIL/ffmpeg; `decoder="fake"` is a
-deterministic stand-in (stats derived from the bytes themselves) so
-the distributed plumbing is testable end-to-end.
+mapInPandas decode/feature-extract, partition-size-aware batching.
+The decode layer is split by what this container can honestly do:
+
+- REAL pure-numpy decoders for the uncompressed formats: PPM (P6)
+  and 24-bit BMP images, PCM-16 WAV audio — header parse +
+  frombuffer, no external libs. `decoder="real"` uses these and
+  raises NotImplementedError only for formats that genuinely need
+  PIL/ffmpeg (JPEG/PNG/MP4...), naming the format.
+- `decoder="fake"` remains the deterministic stand-in (stats derived
+  from the bytes) for plumbing tests with arbitrary payloads.
 
 Schema convention:
     media: binary                      -- opaque payload
@@ -17,12 +21,149 @@ Schema convention:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# pure-numpy media codecs (uncompressed formats only — no external libs)
+# --------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (H, W, 3) uint8. Header = 'P6', whitespace/
+    #-comment separated width height maxval, then raw RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM payload (test/round-trip helper)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (H, W, 3) uint8 RGB (rows are stored
+    bottom-up, BGR, 4-byte padded — all handled here)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    flipped = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return img[::-1] if flipped else img
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM-16 WAV -> ((n_samples, channels) int16, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"only PCM-16 WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) int16 -> PCM-16 WAV payload (test helper)."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    n, ch = s.shape
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbour resize, pure numpy indexing."""
+    ys = (np.arange(h) * img.shape[0] // h).clip(max=img.shape[0] - 1)
+    xs = (np.arange(w) * img.shape[1] // w).clip(max=img.shape[1] - 1)
+    return img[ys][:, xs]
+
+
+def _real_decode(payload: bytes, kind: str, dim: int) -> tuple[float, np.ndarray]:
+    """Decode a supported payload and compute (mean_luma, feature vec).
+
+    Images: luma = (0.299R+0.587G+0.114B)/255; features = the g×g
+    grid-pooled luma (g = sqrt(dim)), unit-normalized. Audio: 'luma'
+    slot carries normalized RMS level; features = per-window RMS
+    pooled to dim. Raises NotImplementedError for formats that need
+    external codecs (JPEG/PNG/MP4 ...)."""
+    if payload[:2] == b"P6":
+        img = decode_ppm(payload)
+    elif payload[:2] == b"BM":
+        img = decode_bmp(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _rate = decode_wav(payload)
+        x = samples.astype(np.float64).mean(axis=1) / 32768.0
+        rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
+        wins = np.array_split(x, dim) if x.size >= dim else [x] * dim
+        feat = np.array([np.sqrt((wv**2).mean()) if wv.size else 0.0 for wv in wins])
+        n = np.linalg.norm(feat)
+        return rms, (feat / n if n else feat).astype(np.float32)
+    else:
+        raise NotImplementedError(
+            f"no built-in decoder for {kind} payload with magic "
+            f"{payload[:4]!r}; compressed formats (JPEG/PNG/MP4) need "
+            "PIL/ffmpeg, not present in this environment"
+        )
+    luma = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    g = max(1, int(round(dim**0.5)))
+    pooled = resize_nearest_mean(luma, g, g).reshape(-1)[:dim]
+    if pooled.size < dim:
+        pooled = np.pad(pooled, (0, dim - pooled.size))
+    n = np.linalg.norm(pooled)
+    return float(luma.mean() / 255.0), (pooled / n if n else pooled).astype(np.float32)
+
+
+def resize_nearest_mean(plane: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """Mean-pool a 2-D plane onto a gh×gw grid (block means)."""
+    hs = np.array_split(np.arange(plane.shape[0]), gh)
+    ws = np.array_split(np.arange(plane.shape[1]), gw)
+    return np.array([[plane[np.ix_(r, c)].mean() if r.size and c.size else 0.0
+                      for c in ws] for r in hs])
 
 MEDIA_META_SCHEMA = (
     "struct<kind:string, mime:string, width:int, height:int, duration_ms:long>"
@@ -84,16 +225,15 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if decoder == "real":
-                # deployment hook: PIL.Image.open / av.open / soundfile
-                raise NotImplementedError(
-                    "real media decode requires image/audio libs not present "
-                    "in this environment; use decoder='fake' for plumbing tests"
-                )
             lumas, embs, shas, sizes = [], [], [], []
-            for payload in b["payload"]:
+            for payload, kind in zip(b["payload"], b["kind"]):
                 payload = bytes(payload) if payload is not None else b""
-                luma, emb = _fake_decode(payload, dim)
+                if decoder == "real":
+                    # pure-numpy decode for PPM/BMP/WAV; raises for
+                    # formats that genuinely need PIL/ffmpeg
+                    luma, emb = _real_decode(payload, str(kind), dim)
+                else:
+                    luma, emb = _fake_decode(payload, dim)
                 lumas.append(luma)
                 embs.append(emb.tolist())
                 shas.append(hashlib.sha256(payload).hexdigest())

@@ -177,6 +177,20 @@ class CompressedIndex:
     spark: SparkSession
     manifest: dict
 
+    def _memo(self, kind: str, build):
+        """Memoize a DataFrame handle per index epoch: building a
+        reader re-lists parquet files on the driver (file-index RPCs),
+        which would otherwise tax every query. Versioned dirs make the
+        memo safe — a state change always points at NEW paths."""
+        key = self._epoch_key()
+        cache = getattr(self, "_df_handles", None)
+        if cache is None or cache[0] != key:
+            cache = (key, {})
+            self._df_handles = cache
+        if kind not in cache[1]:
+            cache[1][kind] = build()
+        return cache[1][kind]
+
     @property
     def postings(self) -> DataFrame:
         """Base blocks unioned with any incremental delta blocks, each
@@ -187,15 +201,19 @@ class CompressedIndex:
         PER-SNAPSHOT tombstone sets (Lucene's per-segment live-docs
         bitset analogue — a doc re-upserted in snapshot j is dead in
         base and in every delta < j, alive in j)."""
-        base = self.spark.read.parquet(self.dir_of("postings")).withColumn(
-            "snapshot", F.lit("base")
-        )
-        for snap in self.manifest.get("deltas", []):
-            d = self.spark.read.parquet(f"{self.path}/postings_delta/{snap}").withColumn(
-                "snapshot", F.lit(snap)
+
+        def build():
+            base = self.spark.read.parquet(self.dir_of("postings")).withColumn(
+                "snapshot", F.lit("base")
             )
-            base = base.unionByName(d)
-        return base
+            for snap in self.manifest.get("deltas", []):
+                d = self.spark.read.parquet(
+                    f"{self.path}/postings_delta/{snap}"
+                ).withColumn("snapshot", F.lit(snap))
+                base = base.unionByName(d)
+            return base
+
+        return self._memo("postings", build)
 
     def dir_of(self, kind: str) -> str:
         """Current versioned dir of a mutable table. Every rewrite gets
@@ -208,14 +226,17 @@ class CompressedIndex:
 
     @property
     def docs(self) -> DataFrame:
-        bm = self.manifest.get("docs_buckets")
-        if bm:
-            paths = [
-                f"{self.path}/{d}"
-                for _, d in sorted(bm.items(), key=lambda kv: int(kv[0]))
-            ]
-            return self.spark.read.parquet(*paths)
-        return self.spark.read.parquet(self.dir_of("docs"))
+        def build():
+            bm = self.manifest.get("docs_buckets")
+            if bm:
+                paths = [
+                    f"{self.path}/{d}"
+                    for _, d in sorted(bm.items(), key=lambda kv: int(kv[0]))
+                ]
+                return self.spark.read.parquet(*paths)
+            return self.spark.read.parquet(self.dir_of("docs"))
+
+        return self._memo("docs", build)
 
     def bucket_of(self, doc_id: int) -> int:
         """Docs-table bucket of a doc id — Python mirror of the Spark
@@ -232,28 +253,34 @@ class CompressedIndex:
         always filter by (field, term) / term ranges — grouping-key
         predicates push below the aggregate, so a query's dictionary
         lookup shuffles only its own terms, never the vocabulary."""
-        base = self.spark.read.parquet(self.dir_of("term_stats"))
-        snaps = self.manifest.get("ts_deltas", [])
-        if not snaps:
-            return base
-        u = base
-        for snap in snaps:
-            u = u.unionByName(
-                self.spark.read.parquet(f"{self.path}/term_stats_delta/{snap}")
+        def build():
+            base = self.spark.read.parquet(self.dir_of("term_stats"))
+            snaps = self.manifest.get("ts_deltas", [])
+            if not snaps:
+                return base
+            u = base
+            for snap in snaps:
+                u = u.unionByName(
+                    self.spark.read.parquet(f"{self.path}/term_stats_delta/{snap}")
+                )
+            return (
+                u.groupBy("field", "term")
+                .agg(F.sum("df").alias("df"))
+                .filter(F.col("df") > 0)
             )
-        return (
-            u.groupBy("field", "term")
-            .agg(F.sum("df").alias("df"))
-            .filter(F.col("df") > 0)
-        )
+
+        return self._memo("term_stats", build)
 
     @property
     def doc_stats(self) -> DataFrame:
-        base = self.spark.read.parquet(self.dir_of("doc_stats"))
-        for snap in self.manifest.get("deltas", []):
-            d = self.spark.read.parquet(f"{self.path}/doc_stats_delta/{snap}")
-            base = base.unionByName(d)
-        return base
+        def build():
+            base = self.spark.read.parquet(self.dir_of("doc_stats"))
+            for snap in self.manifest.get("deltas", []):
+                d = self.spark.read.parquet(f"{self.path}/doc_stats_delta/{snap}")
+                base = base.unionByName(d)
+            return base
+
+        return self._memo("doc_stats", build)
 
     def tombstones(self) -> dict[str, np.ndarray]:
         """snapshot -> doc ids dead IN THAT SOURCE (updated/deleted).

@@ -472,48 +472,64 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
     old_dirs = set(dirs.values())
     new_dirs = {k: f"{k}_v_{snap}" for k in ("doc_stats", "term_stats", "postings")}
 
-    merged = cindex.postings.groupBy("shard", "field").applyInPandas(
-        merge, POSTING_SCHEMA
-    )
-    (
-        merged.repartition("shard")
-        .sortWithinPartitions("field", "term", "block_id")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(f"{cindex.path}/{new_dirs['postings']}")
-    )
+    # the three rewrites are independent — driver threads overlap them;
+    # shard metrics ride the postings write as an Observation
+    n_shards = int(man["n_shards"])
+    obs_blocks = Observation()
 
-    ds_frames = []
-    sources = [("base", cindex.dir_of("doc_stats"))] + [
-        (s, f"{cindex.path}/doc_stats_delta/{s}") for s in man.get("deltas", [])
-    ]
-    for sname, spath in sources:
-        fr = spark.read.parquet(spath)
-        dead = prev_tombs.get(sname, [])
-        if dead:
-            fr = fr.filter(~F.col("doc_id").isin([int(x) for x in dead]))
-        ds_frames.append(fr)
-    _union(ds_frames).write.mode("overwrite").parquet(
-        f"{cindex.path}/{new_dirs['doc_stats']}"
-    )
+    def w_postings():
+        merged = cindex.postings.groupBy("shard", "field").applyInPandas(
+            merge, POSTING_SCHEMA
+        )
+        b_aggs = []
+        for s in range(n_shards):
+            cond = F.col("shard") == s
+            b_aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"bl_{s}"))
+            b_aggs.append(F.sum(F.when(cond, F.col("n_docs"))).alias(f"po_{s}"))
+        (
+            merged.observe(obs_blocks, *b_aggs)
+            .repartition("shard")
+            .sortWithinPartitions("field", "term", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{cindex.path}/{new_dirs['postings']}")
+        )
 
-    tp = max(2, int(man["n_shards"]) // 2)
-    (
-        cindex.term_stats.repartitionByRange(tp, "field", "term")
-        .sortWithinPartitions("field", "term")
-        .write.mode("overwrite")
-        .parquet(f"{cindex.path}/{new_dirs['term_stats']}")
-    )
+    def w_doc_stats():
+        ds_frames = []
+        sources = [("base", cindex.dir_of("doc_stats"))] + [
+            (s, f"{cindex.path}/doc_stats_delta/{s}") for s in man.get("deltas", [])
+        ]
+        for sname, spath in sources:
+            fr = spark.read.parquet(spath)
+            dead = prev_tombs.get(sname, [])
+            if dead:
+                fr = fr.filter(~F.col("doc_id").isin([int(x) for x in dead]))
+            ds_frames.append(fr)
+        _union(ds_frames).write.mode("overwrite").parquet(
+            f"{cindex.path}/{new_dirs['doc_stats']}"
+        )
 
-    # shard metrics from the merged blocks (compaction is rare; one
-    # cheap aggregation keeps resume/metrics parity with full builds)
-    bdf = spark.read.parquet(f"{cindex.path}/{new_dirs['postings']}")
-    mrows = bdf.groupBy("shard").agg(
-        F.count("*").alias("blocks"), F.sum("n_docs").alias("postings")
-    ).collect()
+    def w_term_stats():
+        tp = max(2, n_shards // 2)
+        (
+            cindex.term_stats.repartitionByRange(tp, "field", "term")
+            .sortWithinPartitions("field", "term")
+            .write.mode("overwrite")
+            .parquet(f"{cindex.path}/{new_dirs['term_stats']}")
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        for f in [ex.submit(w) for w in (w_postings, w_doc_stats, w_term_stats)]:
+            f.result()
+
+    bvals = obs_blocks.get
     man["metrics"]["shards"] = {
-        int(r["shard"]): {"blocks": int(r["blocks"]), "postings": int(r["postings"])}
-        for r in mrows
+        s: {"blocks": int(bvals[f"bl_{s}"] or 0), "postings": int(bvals[f"po_{s}"] or 0)}
+        for s in range(n_shards)
+        if int(bvals[f"bl_{s}"] or 0)
     }
 
     man["dirs"] = {**dirs, **new_dirs}

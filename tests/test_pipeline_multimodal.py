@@ -33,12 +33,90 @@ def test_fake_features_deterministic(media):
     assert r0["kind"] == "image"
 
 
-def test_real_decoder_is_gated(media):
+def test_real_decoder_gated_for_compressed_formats(media):
+    # the fixture payloads are not PPM/BMP/WAV -> the real decoder must
+    # refuse (JPEG/PNG/MP4 need external codecs, absent here)
     with pytest.raises(Exception) as e:
         mm.extract_features(media, "id", "media", decoder="real").collect()
     assert "NotImplementedError" in str(e.value) or isinstance(
         e.value, NotImplementedError
     )
+
+
+def _grad_image(h, w):
+    import numpy as np
+
+    y = np.arange(h, dtype=np.uint8)[:, None]
+    x = np.arange(w, dtype=np.uint8)[None, :]
+    return np.stack([y + 0 * x, 0 * y + x, (y + x) % 256], axis=-1).astype("uint8")
+
+
+def test_real_ppm_decode_roundtrip(spark):
+    """Pure-numpy PPM decode: mean_luma from extract_features(real)
+    equals the numpy ground truth of the encoded pixels."""
+    import numpy as np
+
+    imgs = {1: _grad_image(8, 12), 2: _grad_image(16, 5)}
+    rows = [(i, mm.encode_ppm(a)) for i, a in imgs.items()]
+    df = mm.attach_media_meta(
+        spark.createDataFrame(rows, "id long, media binary"),
+        "media", kind="image", mime="image/x-portable-pixmap",
+    )
+    out = {r["id"]: r for r in mm.extract_features(df, "id", "media", decoder="real").collect()}
+    for i, a in imgs.items():
+        want = float((a.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean() / 255.0)
+        assert out[i]["mean_luma"] == pytest.approx(want, abs=1e-9)
+        assert len(out[i]["embedding"]) == 16
+        assert abs(sum(x * x for x in out[i]["embedding"]) - 1.0) < 1e-5
+
+
+def test_bmp_decode_matches_ppm():
+    """BMP decode (bottom-up, BGR, padded rows) reproduces the same
+    pixel array as the PPM path."""
+    import numpy as np
+    import struct
+
+    a = _grad_image(6, 7)  # w=7 -> stride padding exercised
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = a[y][:, ::-1].tobytes()  # RGB->BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixel_data = b"".join(rows)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    payload = header + info + pixel_data
+    assert np.array_equal(mm.decode_bmp(payload), a)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(a)), a)
+
+
+def test_real_wav_decode(spark):
+    """PCM-16 WAV decode: RMS level and windowed-RMS features."""
+    import numpy as np
+
+    t = np.arange(8000)
+    wave = (np.sin(2 * np.pi * 440 * t / 8000) * 16384).astype("<i2").reshape(-1, 1)
+    payload = mm.encode_wav(wave, 8000)
+    dec, rate = mm.decode_wav(payload)
+    assert rate == 8000 and np.array_equal(dec, wave)
+    df = mm.attach_media_meta(
+        spark.createDataFrame([(1, payload)], "id long, media binary"),
+        "media", kind="audio", mime="audio/wav",
+    )
+    r = mm.extract_features(df, "id", "media", decoder="real").collect()[0]
+    want_rms = float(np.sqrt(((wave[:, 0] / 32768.0) ** 2).mean()))
+    assert r["mean_luma"] == pytest.approx(want_rms, abs=1e-9)
+    assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-5
+
+
+def test_resize_nearest():
+    import numpy as np
+
+    a = _grad_image(8, 8)
+    small = mm.resize_nearest(a, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert np.array_equal(small[0, 0], a[0, 0])
 
 
 def test_frame_sampling(media):
