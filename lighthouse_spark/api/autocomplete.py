@@ -80,14 +80,20 @@ def phrase_prefix(
     boost: float = 1.0,
     slop: int = SLOP,
     max_expansions: int = MAX_EXPANSIONS,
+    prefetched: tuple[list[str], dict[str, int]] | None = None,
 ) -> DataFrame | None:
     """match_phrase_prefix: last term prefix-expanded against the term
     dictionary; per-doc score = max over expansions (Q3), fused into
-    one postings scan + one aggregation for all expansions."""
+    one postings scan + one aggregation for all expansions.
+    ``prefetched`` = (expansions, df map) from a shared multi-field
+    dictionary scan (autocomplete() passes it)."""
     if not terms:
         return None
     *head, last = terms
-    exps, dfm = expand.expand_prefix_with_df(index, field, last, head, max_expansions)
+    if prefetched is not None:
+        exps, dfm = prefetched
+    else:
+        exps, dfm = expand.expand_prefix_with_df(index, field, last, head, max_expansions)
     if not exps:
         return None
     n, avgdl = index.corpus_stats().get(field, (0, 1.0))
@@ -191,15 +197,34 @@ def autocomplete(
         if m is not None:
             frames.append(m)
     else:
-        f_name = phrase_prefix(index, fields.name, terms, boost=4.0) if has("name") else None
+        # ONE dictionary scan fetches expansions + dfs for every field
+        ac_fields = [
+            getattr(fields, lg)
+            for lg in ("name", "title", "author", "description")
+            if has(lg) and (lg == "name" or getattr(fields, lg) in index.fields)
+        ]
+        pre = (
+            expand.expand_prefix_with_df_fields(index, ac_fields, terms[-1], terms[:-1])
+            if terms
+            else {}
+        )
+        f_name = (
+            phrase_prefix(index, fields.name, terms, boost=4.0,
+                          prefetched=pre.get(fields.name))
+            if has("name") and terms
+            else None
+        )
         if f_name is not None:
             frames.append(f_name)
         # nested value fields flattened: title^5, author^3,
         # description^2 (auto_complete.go:65-68)
         nested = []
         for logical, b in (("title", 5.0), ("author", 3.0), ("description", 2.0)):
-            if has(logical) and getattr(fields, logical) in index.fields:
-                f = phrase_prefix(index, getattr(fields, logical), terms, boost=b)
+            if has(logical) and getattr(fields, logical) in index.fields and terms:
+                f = phrase_prefix(
+                    index, getattr(fields, logical), terms, boost=b,
+                    prefetched=pre.get(getattr(fields, logical)),
+                )
                 if f is not None:
                     nested.append(f)
         if nested:
