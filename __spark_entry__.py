@@ -392,6 +392,28 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_EMB_LSH_PLANES = [_det_mat(8, 64, shift=211), _det_mat(8, 64, shift=307)]
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUCKETED scale path of embedding near-dup (hyperplane sign
+    buckets, 2 probes, exact cosine verify inside buckets) with pinned
+    plane matrices — the SQL oracle recomputes the identical bucketing,
+    fully checking the emitted pair set (r1 left this path pytest-only)."""
+    import numpy as np
+
+    from lighthouse_spark.pipeline import dedup
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return dedup.embedding_near_dup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.2,
+        planes_mats=[np.array(m) for m in _EMB_LSH_PLANES],
+    ).orderBy("id_a", "id_b")
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lighthouse_spark.pipeline import text as T
 
@@ -515,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "text_analysis": q_text_analysis,
         "winnowing": q_winnowing,
     }
@@ -656,6 +679,16 @@ def _ivf_probes(nprobe: int = 3) -> list[int]:
         for j, cent in enumerate(_IVF_CENTROIDS)
     ]
     return sorted(j for _, j in sorted(d)[:nprobe])
+
+
+def _bucket_sql(planes: list[list[float]]) -> str:
+    """DuckDB expression for the hyperplane sign-bucket of `embedding`."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[]) > 0 "
+        f"THEN (1::BIGINT << {p}) ELSE 0::BIGINT END)"
+        for p, plane in enumerate(planes)
+    )
 
 
 def _lsh_probes() -> list[int]:
@@ -803,6 +836,25 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
               WHERE a.vec_id < 200 AND b.vec_id < 200)
             SELECT id_a, id_b, round(c, 6) AS cosine FROM p
+            WHERE c >= 0.2 ORDER BY id_a, id_b""",
+        "embedding_neardup_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, 0 AS probe, ({_bucket_sql(_EMB_LSH_PLANES[0])}) AS bucket
+              FROM embeddings WHERE vec_id < 200
+              UNION ALL
+              SELECT vec_id, 1 AS probe, ({_bucket_sql(_EMB_LSH_PLANES[1])}) AS bucket
+              FROM embeddings WHERE vec_id < 200),
+            cand AS (
+              SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM b x JOIN b y
+                ON x.probe = y.probe AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+            scored AS (
+              SELECT id_a, id_b,
+                     list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = id_a
+              JOIN embeddings eb ON eb.vec_id = id_b)
+            SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
             WHERE c >= 0.2 ORDER BY id_a, id_b""",
         "text_analysis": f"""
             WITH norm AS (SELECT doc_id, text, {_TOKS_LIST} AS t FROM documents),

@@ -313,13 +313,15 @@ def embedding_near_dup_pairs(
     planes: int = 8,
     seed: int = 42,
     brute_force: bool = False,
+    planes_mats: list | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= threshold.
 
     Scale path: random-hyperplane sign bucketing (planes bits per
-    probe, multi-probe over 2 seeds) then exact cosine verify inside
-    buckets. brute_force=True skips bucketing (the small-scale oracle
-    path; O(n^2) — never at 100 TB)."""
+    probe, multi-probe over 2 seeds — or caller-pinned matrices via
+    ``planes_mats`` for cross-engine-reproducible bucketing) then
+    exact cosine verify inside buckets. brute_force=True skips
+    bucketing (the small-scale oracle path; O(n^2) — never at 100 TB)."""
     import numpy as np
 
     v = df.select(
@@ -330,11 +332,14 @@ def embedding_near_dup_pairs(
         b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        dim = len(v.select("vec").first()["vec"])
-        rng = np.random.default_rng(seed)
+        if planes_mats is None:
+            dim = len(v.select("vec").first()["vec"])
+            rng = np.random.default_rng(seed)
+            planes_mats = [rng.standard_normal((planes, dim)) for _ in range(2)]
         keys = []
-        for probe in range(2):
-            mat = rng.standard_normal((planes, dim))
+        for probe, mat in enumerate(planes_mats):
+            mat = np.asarray(mat, dtype=np.float64)
+            planes = mat.shape[0]
             bits = None
             for p in range(planes):
                 plane = F.array(*[F.lit(float(x)) for x in mat[p]])
