@@ -469,7 +469,6 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
         return store_mod._encode_group(flat, bs, avgdl_map)
 
     dirs = dict(man.get("dirs", {k: k for k in ("docs", "doc_stats", "term_stats", "postings")}))
-    old_dirs = set(dirs.values())
     new_dirs = {k: f"{k}_v_{snap}" for k in ("doc_stats", "term_stats", "postings")}
 
     # the three rewrites are independent — driver threads overlap them;
@@ -546,8 +545,11 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
     )
     _commit(cindex.path, man)
 
-    # drop delta dirs + superseded versions (keep anything a docs
-    # bucket still points into)
+    # drop delta dirs + EVERY unreferenced versioned dir (intermediate
+    # syncs orphan docs_v_* dirs once all their buckets are rewritten;
+    # compaction is the safe sweep point — keep anything the committed
+    # manifest still points into)
+    import re
     import shutil
 
     keep = set(man["dirs"].values())
@@ -557,10 +559,10 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
         p = f"{cindex.path}/{sub}"
         if os.path.exists(p):
             shutil.rmtree(p)
-    for d in old_dirs - keep:
-        p = f"{cindex.path}/{d}"
-        if os.path.exists(p) and d not in ("docs", "doc_stats", "term_stats", "postings"):
-            shutil.rmtree(p)
+    versioned = re.compile(r"^(docs|doc_stats|term_stats|postings)_v_")
+    for d in os.listdir(cindex.path):
+        if versioned.match(d) and d not in keep:
+            shutil.rmtree(f"{cindex.path}/{d}", ignore_errors=True)
     cindex.manifest = man
     return cindex
 

@@ -155,6 +155,31 @@ def test_compaction_preserves_results(spark, base, tmp_path):
     assert ops[0] == "full_build" and "incremental" in ops
 
 
+def test_compaction_sweeps_orphaned_dirs(spark, base, tmp_path):
+    """Intermediate syncs orphan versioned dirs (a bucket rewritten
+    twice leaves the middle docs_v_* dir unreferenced); compaction must
+    leave ONLY dirs the committed manifest references."""
+    import os
+    import re
+
+    ci = base
+    docs = ci.docs.cache()
+    target = docs.orderBy("doc_id").limit(3)
+    for word in ("sweepone", "sweeptwo"):
+        upd = target.withColumn("content", F.lit(f"{word} alpha beta"))
+        ci = sync.apply_incremental(ci, upserts=upd)
+    ci = sync.compact(ci)
+    keep = set(ci.manifest["dirs"].values())
+    for d in ci.manifest.get("docs_buckets", {}).values():
+        keep.add(d.split("/", 1)[0])
+    versioned = re.compile(r"^(docs|doc_stats|term_stats|postings)_v_")
+    on_disk = {d for d in os.listdir(ci.path) if versioned.match(d)}
+    assert on_disk <= keep, f"orphaned dirs survived compaction: {on_disk - keep}"
+    # and the index still answers correctly
+    assert [d for d, _ in _topk(ci, "sweeptwo", k=5)]
+    assert _topk(ci, "sweepone") == []
+
+
 def test_checkpointed_sync_cursor(spark, base, tmp_path):
     ci = base
     state_path = str(tmp_path / "syncstate.json")
