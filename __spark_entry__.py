@@ -467,6 +467,18 @@ def q_autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.top_k(scored, docs, "doc_id", k=10, columns=["doc_id"], round_score=ROUND)
 
 
+def q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup via F.window — the batch twin of the
+    watermarked streaming aggregation (streaming/windowed.py; the same
+    function runs on the stream with a 2-day watermark)."""
+    from lighthouse_spark.streaming.windowed import windowed_event_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_rollup(ev, window="6 hours").orderBy(
+        "window_start", "event_type"
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup over the events table (the batch analogue
     of a windowed streaming agg — the reference is poll-based batch,
@@ -527,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_page": q_topk_page,
         "dedup_rank": q_dedup_rank,
         "events_rollup": q_events_rollup,
+        "windowed_rollup": q_windowed_rollup,
         "anti_join": q_anti_join,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
@@ -899,6 +912,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 4) AS sum_value,
                    count(DISTINCT user_id) AS users
             FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+        "windowed_rollup": """
+            SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
         "anti_join": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (

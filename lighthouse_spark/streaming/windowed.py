@@ -1,0 +1,182 @@
+"""Streaming analytics over the events stream: watermarked windowed
+rollups and a custom stateful sessionizer.
+
+The reference is poll-based batch (cron.go:18-21 — no stream
+semantics), so these are the Spark-native *extensions* a live
+deployment of the same pipeline needs (SURVEY.md §2.8): the windowed
+rollup is the streaming form of the batch `events_rollup` contract
+query, and the sessionizer is the canonical applyInPandasWithState
+custom stateful operator (gap-based session assembly — not expressible
+with built-in windowed aggregation).
+
+Scale notes:
+- the watermark bounds state: windows older than (max event time -
+  watermark) are finalized and dropped from the state store — without
+  it, a 100 TB stream accretes state forever.
+- both operators shuffle once on their grouping key; the sessionizer
+  keeps ONE small state row per key (last event time + accumulators),
+  not the event history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp,"
+    " n_events long, sum_value double"
+)
+SESSION_STATE_SCHEMA = (
+    "start long, last long, n long, sum_value double"
+)
+
+
+def windowed_event_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup of the events stream — the
+    streaming twin of the batch events_rollup query (same aggregates).
+
+    Late events within the watermark still land in their window;
+    events later than the watermark are dropped and the window's state
+    is released. Works identically on a batch frame (no watermark
+    needed) — tests pin streaming == batch on the same input."""
+    src = events.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("_ts", watermark)
+    return src.groupBy(
+        F.window("_ts", window).alias("win"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+    processing_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via applyInPandasWithState: events of a
+    user belong to one session while consecutive gaps stay under
+    ``gap_seconds``; a larger gap closes the session and emits one row.
+
+    ``processing_timeout_ms`` arms a wall-clock timeout that flushes an
+    idle user's open session — set it on LIVE streams; leave None for
+    bounded replays (AvailableNow), where the engine would otherwise
+    sit out the timer before terminating and the trailing open session
+    is intentionally left in state.
+
+    State per user is four scalars (start, last, count, sum) — O(keys)
+    state, never the event history. Emitted rows are final (a closed
+    session can't reopen), so downstream sinks can be append-only."""
+    src = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("ets"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, sv = state.get
+                state.remove()
+                yield _session_row(user, start, last, n, sv)
+            return
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = None
+            n, sv = 0, 0.0
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ets")
+            for ets, val in zip(pdf["ets"], pdf["value"]):
+                ets = float(ets)
+                if last is not None and ets - last > gap_seconds:
+                    closed.append((start, last, n, sv))
+                    start, n, sv = ets, 0, 0.0
+                if start is None:
+                    start = ets
+                last = ets
+                n += 1
+                sv += float(val)
+        state.update((int(start), int(last), int(n), float(sv)))
+        if processing_timeout_ms is not None:
+            state.setTimeoutDuration(processing_timeout_ms)
+        for s0, s1, cnt, total in closed:
+            yield _session_row(user, s0, s1, cnt, total)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if processing_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def _session_row(user, start, last, n, sv) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [int(user)],
+            "session_start": [pd.Timestamp(float(start), unit="s")],
+            "session_end": [pd.Timestamp(float(last), unit="s")],
+            "n_events": [int(n)],
+            "sum_value": [float(sv)],
+        }
+    )
+
+
+def sessionize_batch_oracle(
+    rows: list[tuple[int, float, float]], gap_seconds: int = 1800
+) -> list[tuple[int, float, float, int, float]]:
+    """Pure-Python sessionization over (user, epoch_s, value) rows —
+    the test oracle for ALL sessions (open + closed)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, v in rows:
+        by_user[u].append((float(t), float(v)))
+    out = []
+    for u, evs in by_user.items():
+        evs.sort()
+        start = last = None
+        n, sv = 0, 0.0
+        for t, v in evs:
+            if last is not None and t - last > gap_seconds:
+                out.append((u, start, last, n, sv))
+                start, n, sv = t, 0, 0.0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+            sv += v
+        if start is not None:
+            out.append((u, start, last, n, sv))
+    return sorted(out)
