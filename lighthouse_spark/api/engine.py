@@ -27,8 +27,10 @@ no scores (SURVEY.md §5).
 
 Scale: each clause frame is an IN-list-filtered postings scan +
 broadcast stats join; the union/groupBy is over candidate docs only.
-Doc-gated clauses semi-join against a filtered docs projection —
-broadcastable when selective. Nothing here shuffles the full corpus.
+Doc-gated clauses LEFT-SEMI join against the docs projection filtered
+to the gate values — the small clause frame is the build side; the
+corpus-size docs side is never broadcast (VERDICT r2 wrong #1).
+Nothing here shuffles the full corpus.
 """
 
 from __future__ import annotations

@@ -12,10 +12,16 @@ SearchService.status() — the data a scraper would read.
 
 from __future__ import annotations
 
+import threading
 import time
 
 # prometheus.DefBuckets — the defaults the reference's collectors use
 DEFAULT_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+# One registry-wide lock (Prometheus client collectors are thread-safe;
+# SearchService is called from multiple threads and sync() runs driver
+# threads — unsynchronized read-modify-write would drop observations).
+_LOCK = threading.Lock()
 
 
 class Histogram:
@@ -28,13 +34,14 @@ class Histogram:
         self.count = 0
 
     def observe(self, value: float) -> None:
-        self.sum += value
-        self.count += 1
-        for i, b in enumerate(self.bounds):
-            if value <= b:
-                self.bucket_counts[i] += 1
-                return
-        self.bucket_counts[-1] += 1
+        with _LOCK:
+            self.sum += value
+            self.count += 1
+            for i, b in enumerate(self.bounds):
+                if value <= b:
+                    self.bucket_counts[i] += 1
+                    return
+            self.bucket_counts[-1] += 1
 
     def snapshot(self) -> dict:
         out = {}
@@ -56,9 +63,10 @@ class HistogramVec:
 
     def with_labels(self, *values: str) -> Histogram:
         key = tuple(str(v) for v in values)
-        if key not in self._h:
-            self._h[key] = Histogram(self.buckets)
-        return self._h[key]
+        with _LOCK:
+            if key not in self._h:
+                self._h[key] = Histogram(self.buckets)
+            return self._h[key]
 
     def snapshot(self) -> dict:
         return {"|".join(k): h.snapshot() for k, h in sorted(self._h.items())}
@@ -71,11 +79,13 @@ class GaugeVec:
 
     def inc(self, *values: str) -> None:
         key = tuple(str(v) for v in values)
-        self._g[key] = self._g.get(key, 0) + 1
+        with _LOCK:
+            self._g[key] = self._g.get(key, 0) + 1
 
     def dec(self, *values: str) -> None:
         key = tuple(str(v) for v in values)
-        self._g[key] = self._g.get(key, 0) - 1
+        with _LOCK:
+            self._g[key] = self._g.get(key, 0) - 1
 
     def snapshot(self) -> dict:
         return {"|".join(k): v for k, v in sorted(self._g.items())}

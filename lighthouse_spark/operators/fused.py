@@ -18,8 +18,10 @@ Spark's ReuseExchange shares the underlying scan+shuffle), from which
 each phrase clause's occurrence count is a higher-order expression.
 
 Structural gates (claim_type = channel/stream MUST-conditions) ride
-along as a `gate` tag and are applied once against a broadcast
-doc→claim_type projection. Scores are identical to the per-clause
+along as a `gate` tag; gated rows are applied once via a LEFT-SEMI
+join against the doc→claim_type projection pre-filtered to the gate
+values — the clause frame is the small (build) side, the corpus-size
+docs side is NEVER broadcast. Scores are identical to the per-clause
 path (pinned by the engine golden tests).
 """
 
@@ -176,17 +178,23 @@ def execute(
     for p in parts[1:]:
         out = out.unionByName(p)
 
-    # ---- structural gates (one broadcast join for every gated clause) --
-    if gate_df is not None:
+    # ---- structural gates (one semi-join for every gated clause) -------
+    # The docs projection is the CORPUS-SIZE side — never broadcast it
+    # (at 10^12 docs that hint is a driver/executor OOM). Instead the
+    # gated clause rows (candidates only — the small side) semi-join
+    # against docs pre-filtered to the gate values actually used; with
+    # no hint, AQE picks the build side at runtime (the clause frame).
+    gate_vals = sorted({x.gate for x in list(match_specs) + list(phrase_specs) if x.gate})
+    if gate_df is not None and gate_vals:
         g = gate_df.select(
             F.col(gate_df.columns[0]).alias("doc_id"),
-            F.col(gate_col).alias("_gate_val"),
+            F.col(gate_col).alias("gate"),
+        ).filter(F.col("gate").isin(gate_vals))
+        gated = (
+            out.filter(F.col("gate").isNotNull())
+            .join(g, ["doc_id", "gate"], "left_semi")
         )
-        out = (
-            out.join(F.broadcast(g), "doc_id", "left")
-            .filter(F.col("gate").isNull() | (F.col("gate") == F.col("_gate_val")))
-            .drop("_gate_val")
-        )
+        out = out.filter(F.col("gate").isNull()).unionByName(gated)
     else:
         out = out.filter(F.col("gate").isNull())
     return out.select("doc_id", "clause", "score")

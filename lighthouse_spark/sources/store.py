@@ -308,6 +308,12 @@ class CompressedIndex:
             return cached[1]
         val = {k: np.array(sorted(v), dtype=np.int64) for k, v in t.items() if v}
         bc = self.spark.sparkContext.broadcast(val)
+        if cached is not None:
+            # release the superseded broadcast's executor copies —
+            # long-running sync loops would otherwise accumulate stale
+            # broadcasts until Python GC happens to run (ADVICE r2 #5).
+            # non-blocking: in-flight jobs holding the handle still work.
+            cached[1].unpersist(blocking=False)
         self._tomb_bc = (key, bc)
         return bc
 

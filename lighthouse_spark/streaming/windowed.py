@@ -32,8 +32,11 @@ SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp,"
     " n_events long, sum_value double"
 )
+# start/last are DOUBLE epoch seconds: int truncation would make the
+# gap comparison and emitted bounds drift from the batch oracle for
+# fractional-second event times (ADVICE r2 #3).
 SESSION_STATE_SCHEMA = (
-    "start long, last long, n long, sum_value double"
+    "start double, last double, n long, sum_value double"
 )
 
 
@@ -109,19 +112,45 @@ def sessionize(
             start = last = None
             n, sv = 0, 0.0
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ets")
-            for ets, val in zip(pdf["ets"], pdf["value"]):
-                ets = float(ets)
-                if last is not None and ets - last > gap_seconds:
+        # vectorized gap splits (VERDICT r2 #8): one sort + np.diff per
+        # batch, per-segment sums via reduceat — O(events) numpy work
+        # and O(sessions) Python, never a per-event Python loop.
+        import numpy as np
+
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            ev = pd.concat(frames).sort_values("ets")
+            ets = ev["ets"].to_numpy(dtype=np.float64)
+            vals = ev["value"].to_numpy(dtype=np.float64)
+            if last is not None and ets[0] - last > gap_seconds:
+                closed.append((start, last, n, sv))
+                start = last = None
+                n, sv = 0, 0.0
+            seg_lo = np.concatenate(
+                ([0], np.flatnonzero(np.diff(ets) > gap_seconds) + 1)
+            )
+            seg_hi = np.concatenate((seg_lo[1:], [ets.size]))
+            seg_n = seg_hi - seg_lo
+            seg_sum = np.add.reduceat(vals, seg_lo)
+            first = 0
+            if last is not None:
+                # first segment continues the carried-over open session
+                n += int(seg_n[0])
+                sv += float(seg_sum[0])
+                last = float(ets[seg_hi[0] - 1])
+                first = 1
+            for i in range(first, seg_lo.size):
+                if start is not None:
                     closed.append((start, last, n, sv))
-                    start, n, sv = ets, 0, 0.0
-                if start is None:
-                    start = ets
-                last = ets
-                n += 1
-                sv += float(val)
-        state.update((int(start), int(last), int(n), float(sv)))
+                start = float(ets[seg_lo[i]])
+                last = float(ets[seg_hi[i] - 1])
+                n = int(seg_n[i])
+                sv = float(seg_sum[i])
+        if start is None:
+            if state.exists:
+                state.remove()
+            return
+        state.update((float(start), float(last), int(n), float(sv)))
         if processing_timeout_ms is not None:
             state.setTimeoutDuration(processing_timeout_ms)
         for s0, s1, cnt, total in closed:

@@ -177,3 +177,25 @@ def test_related_to_branch(engine, claims_pd):
     rows = engine.search(req).collect()
     # only streams, never the trivial empty
     assert all(r["claim_type"] == "stream" for r in rows)
+
+
+def test_gate_join_never_broadcasts_docs(engine):
+    """VERDICT r2 wrong #1: the structural claim_type gate must never
+    carry a broadcast hint on the corpus-size docs side (at 10^12 docs
+    that hint is an OOM). Every broadcast hint in the composite plan
+    must wrap a driver-local relation (the clause spec rows), and the
+    gate must apply as a LEFT-SEMI join with the clause frame free to
+    be the build side."""
+    df = engine.clause_scores(SearchRequest(s="crypto news"))
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    lines = analyzed.splitlines()
+    saw_hint = False
+    for i, ln in enumerate(lines):
+        if "strategy=broadcast" in ln:
+            saw_hint = True
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "LocalRelation" in nxt or "LogicalRDD" in nxt, (
+                f"broadcast hint over a non-local relation:\n{ln}\n{nxt}"
+            )
+    assert saw_hint, "expected the clause-spec broadcast to remain"
+    assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()

