@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -107,6 +108,7 @@ def phrase(
     boost: float = 1.0,
     slop: int = 0,
     df_map: dict[str, int] | None = None,
+    slop_mode: str = "lucene",
 ) -> DataFrame:
     """`match_phrase` clause (Q2; query.go:136-169).
 
@@ -117,10 +119,16 @@ def phrase(
     term->positions map built from the (few) posting rows of the
     query's own terms.
 
-    ``slop`` > 0 uses a greedy ordered window: each next term must
-    appear within (pos, pos+slop+1] of the previous match — a
-    documented simplification of Lucene's sloppy-phrase freq, used only
-    by the autocomplete path (slop 5; auto_complete.go:63).
+    ``slop`` > 0 computes LUCENE-EXACT sloppy freq (operators/sloppy
+    .py — offset-adjusted min-heap, fractional 1/(1+matchLength) slop
+    weights, order-tolerant) via an Arrow-batched UDF over the
+    candidate docs' position arrays — candidates only, never the
+    corpus. Phrases with repeated terms fall back to the greedy
+    ordered-window count (Lucene's repeat handling is a separate
+    disambiguation pass; documented divergence), as does the fused
+    autocomplete plan (slop 5; auto_complete.go:63), which keeps the
+    window expression for its single-scan 50-expansion plan shape —
+    pinned by tests/test_sloppy.py.
     """
     n, avgdl = index.corpus_stats().get(field, (0, 1.0))
     if not terms or n == 0:
@@ -156,7 +164,7 @@ def phrase(
     anchor = F.element_at("posmap", terms[0])
     rest = terms[1:]
     if not rest:
-        freq = F.size(anchor)
+        freq = F.size(anchor).cast("double")
     elif slop == 0:
 
         def adjacent(x):
@@ -165,9 +173,22 @@ def phrase(
                 cond = cond & F.array_contains(F.element_at("posmap", t), x + i)
             return cond
 
-        freq = F.size(F.filter(anchor, adjacent))
-    else:
+        freq = F.size(F.filter(anchor, adjacent)).cast("double")
+    elif slop_mode == "lucene" and len(set(terms)) == len(terms):
+        # Lucene-exact sloppy freq (fractional) over the per-term
+        # position arrays — Arrow-batched, candidate docs only
+        from lighthouse_spark.operators.sloppy import lucene_sloppy_freq
 
+        _slop = int(slop)
+
+        @F.pandas_udf("double")
+        def _sloppy(pls: pd.Series) -> pd.Series:
+            return pls.map(lambda ls: lucene_sloppy_freq(list(ls), _slop))
+
+        freq = _sloppy(F.array(*[F.element_at("posmap", t) for t in terms]))
+    else:
+        # repeated phrase terms: greedy ordered-window fallback
+        # (documented divergence; Lucene repeat handling not modeled)
         def chain(i, prev):
             if i == len(terms):
                 return F.lit(True)
@@ -176,7 +197,7 @@ def phrase(
                 arr, lambda xi: (xi > prev) & (xi <= prev + slop + 1) & chain(i + 1, xi)
             )
 
-        freq = F.size(F.filter(anchor, lambda x0: chain(1, x0)))
+        freq = F.size(F.filter(anchor, lambda x0: chain(1, x0))).cast("double")
 
     scored = per_doc.withColumn("freq", freq).filter(F.col("freq") > 0)
     return scored.select(

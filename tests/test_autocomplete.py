@@ -107,7 +107,14 @@ def _naive_phrase_prefix(index, field, terms, boost=1.0, slop=5, limit=50):
     for e in exps:
         if head:
             if index.fields[field].positions:
-                frames.append(search.phrase(index, field, head + [e], boost, slop=slop))
+                frames.append(
+                    # window mode: the fused plan's documented slop
+                    # semantics (Lucene-exact lives in slop_mode="lucene",
+                    # pinned separately by tests/test_sloppy.py)
+                    search.phrase(
+                        index, field, head + [e], boost, slop=slop, slop_mode="window"
+                    )
+                )
             else:
                 frames.append(search.match_terms(index, field, head + [e], boost))
         else:

@@ -1,0 +1,143 @@
+"""Sloppy-phrase parity (VERDICT r2 missing #2 / next-round #6).
+
+Pins three things:
+1. the pure-Python Lucene reference against hand-computed cases from
+   the published SloppyPhraseScorer semantics;
+2. the Spark phrase(slop>0) path — Arrow UDF over position arrays —
+   against that reference, doc for doc, on randomized corpora;
+3. the DOCUMENTED divergence of the greedy ordered-window count (the
+   fused autocomplete plan's expression): order-sensitivity and
+   integer (not slop-weighted) counting, with a concrete witness.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lighthouse_spark.operators import search
+from lighthouse_spark.operators.sloppy import greedy_window_freq, lucene_sloppy_freq
+from lighthouse_spark.plans.indexer import FieldSpec, build_index
+
+
+def _positions(tokens: list[str], term: str) -> np.ndarray:
+    return np.array([i for i, t in enumerate(tokens) if t == term], dtype=np.int64)
+
+
+# ---- 1. hand-computed Lucene semantics -------------------------------------
+
+def test_exact_adjacency_scores_full_weight():
+    # "a b" in "a b": matchLength 0 → freq 1/(1+0) = 1
+    assert lucene_sloppy_freq([np.array([0]), np.array([1])], slop=2) == 1.0
+
+
+def test_transposed_pair_scores_one_third():
+    # doc "b a", query "a b": adjusted a=1, b=-1 → matchLength 2 → 1/3
+    f = lucene_sloppy_freq([np.array([1]), np.array([0])], slop=2)
+    assert f == pytest.approx(1.0 / 3.0)
+    # and it is a MISS when slop < 2 (order tolerance costs 2 edits)
+    assert lucene_sloppy_freq([np.array([1]), np.array([0])], slop=1) == 0.0
+
+
+def test_gap_costs_distance():
+    # doc "a x b": b at 2, adjusted 1 → matchLength 1 → 1/2
+    f = lucene_sloppy_freq([np.array([0]), np.array([2])], slop=5)
+    assert f == pytest.approx(0.5)
+
+
+def test_multiple_windows_accumulate():
+    # doc "a b a b": two exact windows → 2.0
+    f = lucene_sloppy_freq([np.array([0, 2]), np.array([1, 3])], slop=0)
+    assert f == pytest.approx(2.0)
+
+
+def test_greedy_window_diverges_on_order():
+    """The documented autocomplete simplification: order-sensitive and
+    integer-valued. 'b a' matches Lucene at slop 2 (weight 1/3) but the
+    ordered window scores 0 — the pinned divergence witness."""
+    pos = [np.array([1]), np.array([0])]
+    assert lucene_sloppy_freq(pos, 2) > 0
+    assert greedy_window_freq(pos, 2) == 0
+    # and where order matches, the greedy count equals the number of
+    # windows while Lucene weights them by tightness
+    pos2 = [np.array([0]), np.array([2])]
+    assert greedy_window_freq(pos2, 5) == 1
+    assert lucene_sloppy_freq(pos2, 5) == pytest.approx(0.5)
+
+
+# ---- 2. Spark phrase(slop) == reference on random corpora ------------------
+
+@pytest.fixture(scope="module")
+def slop_corpus(spark):
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "x2", "x3"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 30))))
+        for i in range(250)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    idx = build_index(
+        docs, "doc_id", {"content": FieldSpec("content", positions=True)}, mode="simple"
+    ).cache()
+    return rows, idx
+
+
+@pytest.mark.parametrize("slop", [1, 3, 5])
+@pytest.mark.parametrize("terms", [["alpha", "beta"], ["alpha", "beta", "gamma"]])
+def test_spark_sloppy_phrase_matches_lucene_reference(slop_corpus, slop, terms):
+    rows, idx = slop_corpus
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search.phrase(idx, "content", terms, slop=slop).collect()
+    }
+    # independent reference: tokenize each doc, run the pure-Python
+    # Lucene algorithm, then the same BM25 shape the operator applies
+    n, avgdl = idx.corpus_stats()["content"]
+    dfm = {}
+    toks_by_doc = {}
+    for i, text in rows:
+        toks = text.split()
+        toks_by_doc[i] = toks
+        for t in set(toks):
+            dfm[t] = dfm.get(t, 0) + 1
+    idf_sum = sum(math.log(1 + (n - dfm[t] + 0.5) / (dfm[t] + 0.5)) for t in terms)
+    want = {}
+    for i, toks in toks_by_doc.items():
+        freq = lucene_sloppy_freq([_positions(toks, t) for t in terms], slop)
+        if freq > 0:
+            dl = len(toks)
+            tfn = freq * 2.2 / (freq + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            want[i] = idf_sum * tfn
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+    assert want, f"vacuous slop test for {terms} slop={slop}"
+
+
+def test_repeated_terms_fall_back_to_window(slop_corpus):
+    """Phrases with repeated terms keep the greedy window count (the
+    Lucene repeat-disambiguation pass is not modeled) — pinned."""
+    rows, idx = slop_corpus
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search.phrase(idx, "content", ["alpha", "alpha"], slop=2).collect()
+    }
+    n, avgdl = idx.corpus_stats()["content"]
+    dfm_alpha = sum(1 for _, text in rows if "alpha" in text.split())
+    idf_sum = 2 * math.log(1 + (n - dfm_alpha + 0.5) / (dfm_alpha + 0.5))
+    want = {}
+    for i, text in rows:
+        toks = text.split()
+        p = _positions(toks, "alpha")
+        freq = greedy_window_freq([p, p], 2)
+        if freq > 0:
+            dl = len(toks)
+            tfn = freq * 2.2 / (freq + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            want[i] = idf_sum * tfn
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
