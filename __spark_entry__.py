@@ -295,6 +295,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS via star edges + min-label propagation
+    (the mega-dup-group path: O(corpus) rows where the pair list is
+    O(m²)). Oracle = connected components of the exact-Jaccard pair
+    graph (recursive CTE): equality asserts the verified star edges
+    span the same components as the full pair set on this corpus —
+    sound by construction, complete because the 16x4 banding has full
+    recall here (pinned by dedup_minhash)."""
+    from lighthouse_spark.pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.lsh_dedup_groups(docs, "doc_id", "text", n=5, threshold=0.2).orderBy("id")
+
+
 _SIMHASH_BITS = 60       # 15 sha256 hex chars — identical in Spark and DuckDB
 _SIMHASH_MAX_H = 6       # banding uses max_hamming+1 chunks (pigeonhole-complete)
 
@@ -631,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_groups": q_dedup_groups,
         "dedup_simhash": q_dedup_simhash,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -746,6 +761,29 @@ _JACCARD_SQL = f"""
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE i / (sa.n + sb.n - i) >= 0.2
     ORDER BY id_a, id_b"""
+
+_GROUPS_SQL = f"""
+    WITH RECURSIVE
+    norm AS (SELECT doc_id, {_TOKS_LIST} AS t FROM documents WHERE doc_id < 300),
+    sh AS (SELECT doc_id, {_SHINGLE5} AS sh FROM norm),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i / (sa.n + sb.n - i) >= 0.2),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, g) AS (
+      SELECT doc_id, doc_id FROM norm
+      UNION
+      SELECT u.a, r.g FROM und u JOIN reach r ON r.id = u.b)
+    SELECT id, min(g) AS group_id FROM reach GROUP BY id ORDER BY id"""
+
 
 
 def _composite_oracle_sql(s: str, k: int = 25) -> str:
@@ -1063,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         # equality with the full exact-Jaccard pair set asserts both
         # soundness AND complete recall of the banding on this corpus
         "dedup_minhash": _JACCARD_SQL,
+        "dedup_groups": _GROUPS_SQL,
         "ann_bruteforce": f"""
             WITH s AS (
               SELECT vec_id,

@@ -350,23 +350,29 @@ class SearchEngine:
 
     def _exact_phrase_filter_ids(self, s: str) -> DataFrame | None:
         """Quoted exact phrases → SHOULD-of-phrases used as a FILTER
-        (query.go:230-262): docs matching ≥1 phrase on ≥1 field."""
+        (query.go:230-262): docs matching ≥1 phrase on ≥1 field.
+
+        All (phrase × field) combinations share ONE positional postings
+        scan via fused.phrase_match_ids (r2 built one subplan each)."""
         phrases = extract_quoted_phrases(s)
         if not phrases:
             return None
-        frames = []
+        specs: list[fused.PhraseSpec] = []
         for p in phrases:
             toks = self._terms(p)
+            if not toks:
+                continue
             for logical in ("channel", "name", "title", "description"):
-                f = self._phrase(logical, toks, 1.0)
-                if f is not None:
-                    frames.append(f.select("doc_id"))
-        if not frames:
+                if not self._has(logical):
+                    continue
+                fname = getattr(self.fields, logical)
+                if not self.index.fields[fname].positions:
+                    continue
+                specs.append(fused.PhraseSpec(f"q:{p}", fname, tuple(toks)))
+        if not specs:
             return None
-        u = frames[0]
-        for f in frames[1:]:
-            u = u.unionByName(f)
-        return u.distinct()
+        dfmaps = self._df_for_specs([], specs)
+        return fused.phrase_match_ids(self.index, specs, dfmaps)
 
     # ---- doc-level boost columns (the 7 base SHOULD clauses) --------------
 

@@ -199,3 +199,20 @@ def test_gate_join_never_broadcasts_docs(engine):
             )
     assert saw_hint, "expected the clause-spec broadcast to remain"
     assert "LeftSemi" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_quoted_phrase_filter_single_positional_scan(engine):
+    """VERDICT r2 wrong #5 (minor): all (phrase × field) combinations
+    of the quoted-phrase filter must share ONE positional postings
+    aggregation — one shuffle on (field, doc_id) — not one subplan per
+    combination (4 fields × phrases)."""
+    ids = engine._exact_phrase_filter_ids('"crypto news" today')
+    assert ids is not None
+    import re
+
+    # the optimized logical plan must contain exactly ONE posmap
+    # aggregation (the InMemoryRelation's embedded build plan also
+    # prints collect_list nodes, so match the posmap signature)
+    opt = ids._jdf.queryExecution().optimizedPlan().toString()
+    n_aggs = len(re.findall(r"map_from_entries\(collect_list", opt))
+    assert n_aggs == 1, f"expected one fused posmap aggregation, saw {n_aggs}"

@@ -133,3 +133,33 @@ def test_frame_sampling(media):
 def test_invalid_decoder(media):
     with pytest.raises(ValueError):
         mm.extract_features(media, "id", "media", decoder="bogus")
+
+
+def test_pil_decode_skipped_or_green():
+    """Optional-dependency decoder: green when Pillow is installed,
+    a NAMED NotImplementedError otherwise (never a silent fake)."""
+    import numpy as np
+    import pytest
+
+    from lighthouse_spark.pipeline.multimodal import _pil_decode, _real_decode
+
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _pil_decode(png_magic)
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _real_decode(png_magic, "image", 16)
+    else:
+        # a real 1x1 PNG decodes to an RGB array
+        import io
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (2, 2), (10, 20, 30)).save(buf, format="PNG")
+        arr = _pil_decode(buf.getvalue())
+        assert arr.shape == (2, 2, 3) and arr.dtype == np.uint8
