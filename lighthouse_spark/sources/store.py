@@ -595,3 +595,275 @@ def build_and_save(
 
     idx = build_index(docs, doc_id_col, fields, mode, cache_agg=True)
     return save_index(idx, path, n_shards=n_shards, block_size=block_size)
+
+
+def build_resumable(
+    docs: DataFrame,
+    doc_id_col: str,
+    fields: dict[str, FieldSpec | str],
+    path: str,
+    mode: str = "simple",
+    n_shards: int = 8,
+    block_size: int = codec.BLOCK_SIZE,
+    n_buckets: int = 16,
+    n_slices: int = 8,
+    max_slices: int | None = None,
+    term_partitions: int | None = None,
+) -> CompressedIndex | None:
+    """Checkpointed full build (north_rule: "checkpoint each
+    partition's posting shard with lineage + build metrics for
+    resumability").
+
+    The corpus splits into ``n_slices`` deterministic slices
+    (pmod(xxhash64(doc_id), n_slices)); each slice's TOKENIZED output
+    (flat postings + doc_stats, the expensive part at 10^12 files) is
+    committed to ``build_checkpoint/slice_k/`` together with an
+    atomically-updated progress journal carrying per-slice doc counts,
+    per-field length sums and wall time. A restarted build skips every
+    journaled slice — at a 10-hour 100 TB tokenize, a crash costs one
+    slice, not the build. When all slices are present, FINALIZE reads
+    the checkpointed postings (no re-tokenize), computes exact global
+    corpus stats from the journal sums, encodes the block-compressed
+    layout with the global avgdl, and commits the ordinary manifest
+    (slice lineage preserved); the checkpoint dir is then removed.
+    Results are IDENTICAL to a one-shot build (pinned by
+    tests/test_resumable.py).
+
+    ``max_slices`` bounds the slices processed THIS invocation (the
+    test hook for simulating interruption; also a natural work-budget
+    knob for spot instances). Returns None while incomplete.
+    """
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    from lighthouse_spark.plans.indexer import build_index
+
+    spark = docs.sparkSession
+    specs = {k: (v if isinstance(v, FieldSpec) else FieldSpec(v)) for k, v in fields.items()}
+    field_names = sorted(specs)
+    ckdir = f"{path}/build_checkpoint"
+    os.makedirs(ckdir, exist_ok=True)
+    jpath = f"{ckdir}/progress.json"
+    journal = {"slices": {}}
+    if os.path.exists(jpath):
+        with open(jpath) as f:
+            journal = json.load(f)
+    params = {
+        "n_slices": n_slices,
+        "mode": mode,
+        "doc_id_col": doc_id_col,
+        "fields": {k: [v.column, v.positions] for k, v in specs.items()},
+    }
+    if journal.get("params") not in (None, params):
+        raise ValueError(
+            f"build_checkpoint at {ckdir} was written with different "
+            "parameters — remove it or finish that build first"
+        )
+    journal["params"] = params
+
+    def _write_journal():
+        tmp = jpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(journal, f, indent=2)
+        os.replace(tmp, jpath)
+
+    # ---- per-slice tokenize + checkpoint -------------------------------
+    done_this_run = 0
+    for s in range(n_slices):
+        if str(s) in journal["slices"]:
+            continue
+        if max_slices is not None and done_this_run >= max_slices:
+            _write_journal()
+            return None
+        t0 = time.time()
+        sdocs = docs.filter(
+            F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(n_slices)) == s
+        )
+        idx = build_index(sdocs, doc_id_col, specs, mode, cache_agg=True)
+        flat = idx.postings
+        if idx._intermediates:
+            for a in idx._intermediates:
+                a.count()
+        else:
+            flat = flat.persist()
+            flat.count()
+        if "positions" not in flat.columns:
+            flat = flat.withColumn("positions", F.lit(None).cast("array<int>"))
+        obs = Observation()
+        ds_aggs = []
+        for fn in field_names:
+            cond = F.col("field") == fn
+            ds_aggs.append(F.sum(F.when(cond, F.col("dl"))).alias(f"dl_{fn}"))
+            ds_aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"n_{fn}"))
+
+        def w_post():
+            flat.write.mode("overwrite").parquet(f"{ckdir}/slice_{s}/postings")
+
+        def w_ds():
+            (
+                idx.doc_stats.observe(obs, *ds_aggs)
+                .write.mode("overwrite")
+                .parquet(f"{ckdir}/slice_{s}/doc_stats")
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for fut in [ex.submit(w_post), ex.submit(w_ds)]:
+                fut.result()
+        vals = obs.get
+        idx.unpersist_intermediates()
+        if not idx._intermediates:
+            flat.unpersist()
+        journal["slices"][str(s)] = {
+            "fields": {
+                fn: {"n": int(vals[f"n_{fn}"] or 0), "dl": int(vals[f"dl_{fn}"] or 0)}
+                for fn in field_names
+            },
+            "wall_seconds": round(time.time() - t0, 3),
+        }
+        _write_journal()
+        done_this_run += 1
+
+    # ---- finalize: encode from checkpointed postings (no re-tokenize) --
+    t0 = time.time()
+    snap = uuid.uuid4().hex[:12]
+    dirs = {k: f"{k}_v_{snap}" for k in ("docs", "doc_stats", "term_stats", "postings")}
+    corpus = {}
+    total_dls = {}
+    for fn in field_names:
+        n = sum(sl["fields"][fn]["n"] for sl in journal["slices"].values())
+        dl = sum(sl["fields"][fn]["dl"] for sl in journal["slices"].values())
+        if n:
+            corpus[fn] = (n, dl / n)
+            total_dls[fn] = dl
+    flat = spark.read.parquet(*[f"{ckdir}/slice_{s}/postings" for s in range(n_slices)])
+    ds_all = spark.read.parquet(
+        *[f"{ckdir}/slice_{s}/doc_stats" for s in range(n_slices)]
+    )
+    term_stats = flat.groupBy("field", "term").agg(F.count("*").alias("df"))
+
+    obs_docs = Observation()
+    obs_blocks = Observation()
+
+    def w_docs():
+        bucket_col = F.pmod(F.col(doc_id_col).cast("long"), F.lit(n_buckets)).cast("int")
+        docs_aggs = [
+            F.count(F.when(F.col("_bucket") == b, F.lit(1))).alias(f"b_{b}")
+            for b in range(n_buckets)
+        ]
+        (
+            docs.withColumn("_bucket", bucket_col)
+            .observe(obs_docs, *docs_aggs)
+            .repartition(n_buckets, F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(f"{path}/{dirs['docs']}")
+        )
+
+    def w_ds_final():
+        ds_all.write.mode("overwrite").parquet(f"{path}/{dirs['doc_stats']}")
+
+    def w_ts():
+        tp = term_partitions or max(2, n_shards // 2)
+        (
+            term_stats.repartitionByRange(tp, "field", "term")
+            .sortWithinPartitions("field", "term")
+            .write.mode("overwrite")
+            .parquet(f"{path}/{dirs['term_stats']}")
+        )
+
+    def w_blocks():
+        avgdl_map = {f: v[1] for f, v in corpus.items()}
+        p = flat.withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+        )
+
+        def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _encode_group(pdf, block_size, avgdl_map)
+
+        blocks = p.groupBy("shard", "field").applyInPandas(enc, POSTING_SCHEMA)
+        b_aggs = []
+        for sh in range(n_shards):
+            cond = F.col("shard") == sh
+            b_aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"bl_{sh}"))
+            b_aggs.append(F.sum(F.when(cond, F.col("n_docs"))).alias(f"po_{sh}"))
+        (
+            blocks.observe(obs_blocks, *b_aggs)
+            .repartition("shard")
+            .sortWithinPartitions("field", "term", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{path}/{dirs['postings']}")
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        for fut in [ex.submit(w) for w in (w_docs, w_ds_final, w_ts, w_blocks)]:
+            fut.result()
+
+    dvals = obs_docs.get
+    bucket_docs = {
+        str(b): int(dvals[f"b_{b}"]) for b in range(n_buckets) if int(dvals[f"b_{b}"] or 0)
+    }
+    bvals = obs_blocks.get
+    shard_metrics = {
+        sh: {"blocks": int(bvals[f"bl_{sh}"] or 0), "postings": int(bvals[f"po_{sh}"] or 0)}
+        for sh in range(n_shards)
+        if int(bvals[f"bl_{sh}"] or 0)
+    }
+    slice_lineage = [
+        {
+            "snapshot": snap,
+            "op": "build_slice",
+            "slice": int(s),
+            "n_docs": max(
+                (sl["fields"][fn]["n"] for fn in field_names), default=0
+            ),
+            "wall_seconds": sl["wall_seconds"],
+        }
+        for s, sl in sorted(journal["slices"].items(), key=lambda kv: int(kv[0]))
+    ]
+    manifest = {
+        "version": 1,
+        "snapshot": snap,
+        "dirs": dirs,
+        "created_unix": int(t0),
+        "analyzer_mode": mode,
+        "doc_id_col": doc_id_col,
+        "fields": {k: {"column": v.column, "positions": v.positions} for k, v in specs.items()},
+        "n_shards": n_shards,
+        "n_buckets": n_buckets,
+        "docs_buckets": {b: f"{dirs['docs']}/_bucket={b}" for b in bucket_docs},
+        "bucket_docs": bucket_docs,
+        "block_size": block_size,
+        "bm25": {"k1": K1, "b": B},
+        "corpus": {
+            f: {"n_docs": v[0], "avgdl": v[1], "total_dl": total_dls[f]}
+            for f, v in corpus.items()
+        },
+        "deltas": [],
+        "ts_deltas": [],
+        "tombstones": {},
+        "metrics": {
+            "n_docs": sum(bucket_docs.values()),
+            "build_seconds": round(
+                sum(sl["wall_seconds"] for sl in journal["slices"].values())
+                + (time.time() - t0),
+                3,
+            ),
+            "shards": shard_metrics,
+        },
+        "lineage": slice_lineage
+        + [
+            {
+                "snapshot": snap,
+                "op": "full_build_finalize",
+                "n_docs": sum(bucket_docs.values()),
+                "wall_seconds": round(time.time() - t0, 3),
+                "shards": sorted(shard_metrics),
+            }
+        ],
+    }
+    _commit(path, manifest)
+    shutil.rmtree(ckdir, ignore_errors=True)
+    return CompressedIndex(path=path, spark=spark, manifest=manifest)
