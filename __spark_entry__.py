@@ -353,6 +353,76 @@ _LSH_PLANES = _det_mat(8, 64, shift=7)
 _IVF_CENTROIDS = _det_mat(16, 64, shift=101)
 
 
+# --------------------------------------------------------------------------
+# corpus curation: decontamination / deterministic sampling / PII scrub
+# --------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: corpus docs (doc_id >= 15)
+    sharing >=1 word 5-gram with the 'test set' (doc_id < 15), with
+    shared-shingle counts. The cleaned-corpus variant is an anti-join
+    on these ids (curate.decontaminate)."""
+    from lighthouse_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 15)
+    ref = docs.filter(F.col("doc_id") < 15)
+    return (
+        curate.contamination(corpus, "doc_id", "text", ref, "text", n=5)
+        .select(F.col("id").alias("doc_id"), "shared_ngrams")
+        .orderBy("doc_id")
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample (sha256 unit hash < 0.2): the
+    same rows survive at any parallelism / engine — unlike
+    df.sample(), which is seed+partitioning dependent."""
+    from lighthouse_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate.hash_sample(docs, "doc_id", 0.2).select("doc_id").orderBy("doc_id")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 3 docs per (lang, source) stratum by deterministic hash
+    order — the reproducible data-mixing primitive."""
+    from lighthouse_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        curate.stratified_sample_exact(docs, "doc_id", ["lang", "source"], 3)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails/IPv4/phones/SSNs replaced with typed
+    placeholders; PII is synthesized into each doc so the operator has
+    something to scrub, and the value check compares sha256 of the
+    scrubbed text (patterns restricted to the Java∩RE2 regex dialect
+    so both engines rewrite byte-identically)."""
+    from lighthouse_spark.pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.withColumn("text", F.concat(F.col("text"), _pii_suffix_spark()))
+    return (
+        curate.pii_scrub(dirty, "text")
+        .select("doc_id", F.sha2(F.col("text"), 256).alias("scrub_sha"))
+        .orderBy("doc_id")
+    )
+
+
+def _pii_suffix_spark():
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit(" reach me: user"), d.cast("string"),
+        F.lit("@mail.example.com or 10.42."), (d % 200).cast("string"),
+        F.lit(".7 call +1 415 555 0111 ssn 123-45-6789"),
+    )
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lighthouse_spark.pipeline import ann
 
@@ -654,6 +724,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "text_analysis": q_text_analysis,
         "winnowing": q_winnowing,
+        # corpus curation
+        "decontaminate": q_decontaminate,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -784,6 +859,25 @@ _GROUPS_SQL = f"""
       SELECT u.a, r.g FROM und u JOIN reach r ON r.id = u.b)
     SELECT id, min(g) AS group_id FROM reach GROUP BY id ORDER BY id"""
 
+
+
+_SHA_UNIT = "('0x' || substr(sha256(doc_id::VARCHAR), 1, 15))::BIGINT / 1152921504606846976.0"
+
+
+def _pii_oracle_sql() -> str:
+    """Apply the same PII patterns with DuckDB's RE2 ('g' flag); the
+    synthesized dirty text matches _pii_suffix_spark char-for-char."""
+    from lighthouse_spark.pipeline.curate import PII_PATTERNS
+
+    expr = (
+        "text || ' reach me: user' || doc_id || '@mail.example.com or 10.42.'"
+        " || (doc_id % 200) || '.7 call +1 415 555 0111 ssn 123-45-6789'"
+    )
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, sha256({expr}) AS scrub_sha FROM documents ORDER BY doc_id"
+    )
 
 
 def _composite_oracle_sql(s: str, k: int = 25) -> str:
@@ -1092,6 +1186,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "composite_search": _composite_oracle_sql(_COMPOSITE_Q),
         "composite_search_mlt": _composite_oracle_sql(_COMPOSITE_MLT_Q),
+        "decontaminate": f"""
+            WITH norm AS (SELECT doc_id, {_TOKS_LIST} AS t FROM documents),
+            csh AS (SELECT doc_id, {_SHINGLE5} AS sh FROM norm WHERE doc_id >= 15),
+            cx AS (SELECT doc_id, unnest(sh) AS s FROM csh),
+            rsh AS (SELECT {_SHINGLE5} AS sh FROM norm WHERE doc_id < 15),
+            refs AS (SELECT DISTINCT unnest(sh) AS s FROM rsh)
+            SELECT doc_id, count(*)::BIGINT AS shared_ngrams
+            FROM cx JOIN refs USING (s) GROUP BY doc_id ORDER BY doc_id""",
+        "hash_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE {_SHA_UNIT} < 0.2 ORDER BY doc_id""",
+        "stratified_sample": f"""
+            WITH r AS (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY {_SHA_UNIT} ASC, doc_id ASC) AS rk
+              FROM documents)
+            SELECT doc_id, lang, source FROM r WHERE rk <= 3 ORDER BY doc_id""",
+        "pii_scrub": _pii_oracle_sql(),
         "dedup_exact": """
             SELECT sha256(text) AS content_sha256, min(doc_id) AS doc_id,
                    count(*) AS dup_count

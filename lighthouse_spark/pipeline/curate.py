@@ -1,0 +1,148 @@
+"""Corpus-curation operators for training-data pipelines:
+benchmark decontamination, deterministic sampling, PII scrubbing.
+
+All pure built-in expressions (whole-stage codegen; no Python in any
+hot path), all cross-engine reproducible so the driver's DuckDB oracle
+can check values bit-for-bit:
+
+- decontamination joins on word n-gram shingles — the standard
+  test-set-overlap removal (any doc sharing >=1 n-gram with the
+  reference set is dropped). The reference side (a benchmark test set)
+  is typically tiny; no broadcast hint is forced — AQE picks the build
+  side, so a genuinely large reference set still shuffle-joins.
+- sampling hashes doc ids with sha256 (not xxhash64: sha2 is the
+  cross-engine-reproducible choice, see sha2_token_hash) — the SAME
+  rows are kept at any parallelism, any engine, any run.
+- PII scrubbing is regexp_replace with patterns restricted to the
+  regex intersection of Java and RE2 dialects (char classes +
+  bounded quantifiers, no lookaround), so Spark and DuckDB rewrite
+  byte-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lighthouse_spark.functions.analysis import tokens_col
+from lighthouse_spark.pipeline.dedup import _shingles_from_tokens, with_shingles
+
+
+def contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref: DataFrame,
+    ref_text_col: str,
+    n: int = 5,
+    mode: str = "simple",
+) -> DataFrame:
+    """(id, shared_ngrams) for every doc sharing >=1 word n-gram with
+    ANY reference document — the audit view of decontamination.
+
+    Scale shape: reference shingles are DISTINCT'd before the join
+    (the ref set's size, not its row count, bounds the join input);
+    the corpus side explodes shingles once and partial-aggregates the
+    per-doc match count map-side."""
+    corpus_sh = with_shingles(df, id_col, text_col, n, mode).select(
+        "id", F.explode("sh").alias("shingle")
+    )
+    ref_sh = (
+        ref.select(tokens_col(ref_text_col, mode).alias("_toks"))
+        .select(F.explode(_shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
+        .distinct()
+    )
+    return (
+        corpus_sh.join(ref_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref: DataFrame,
+    ref_text_col: str,
+    n: int = 5,
+    mode: str = "simple",
+) -> DataFrame:
+    """The cleaned corpus: drop every doc sharing >=1 word n-gram with
+    the reference (test/benchmark) set. Anti-join on the contamination
+    ids — the corpus is never collected or broadcast."""
+    bad = contamination(df, id_col, text_col, ref, ref_text_col, n, mode).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(bad, id_col, "left_anti")
+
+
+def _sha_unit(col):
+    """Deterministic uniform [0, 1) from a column value via sha256 —
+    identical in Spark and DuckDB ('0x' || substr(sha256(x),1,15)).
+    60 bits of hash over a 2^60 denominator."""
+    h = F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 15), 16, 10).cast("long")
+    return (h / F.lit(float(2 ** 60))).cast("double")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose sha256-derived
+    unit hash < fraction. Unlike df.sample(), the SAME rows survive at
+    any parallelism / partitioning / engine — the property a resumable
+    100 TB pipeline needs (re-runs must agree). ``salt`` decorrelates
+    independent samples."""
+    u = _sha_unit(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return df.filter(u < F.lit(float(fraction)))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    strata_cols: list[str],
+    k_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY k rows per stratum, chosen by deterministic hash order
+    (row_number over the sha256 unit hash within each stratum).
+
+    Scale note: the per-stratum window shuffles once on the strata
+    key; a mega-stratum makes its partition large but the window is
+    rank-only (no buffering beyond the running count). For top-k with
+    k << stratum size a two-phase per-partition pre-rank could prune,
+    but rank-order must stay hash-global so the simple window is the
+    correct baseline."""
+    from pyspark.sql import Window
+
+    u = _sha_unit(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k_per_stratum)
+        .drop("_rk")
+    )
+
+
+# regex intersection of Java (Spark) and RE2 (DuckDB 'g' flag):
+# char classes + bounded quantifiers only, no lookaround.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def pii_scrub_col(col):
+    """Column expression replacing emails / IPv4s / phone numbers /
+    SSNs with typed placeholders. Order matters (email before phone so
+    digits inside addresses aren't half-eaten); all JVM-side."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scrub(df: DataFrame, text_col: str) -> DataFrame:
+    return df.withColumn(text_col, pii_scrub_col(F.col(text_col)))

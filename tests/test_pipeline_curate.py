@@ -1,0 +1,74 @@
+"""Corpus-curation operators: decontamination semantics, deterministic
+sampling invariance, exact stratified quotas, PII scrubbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lighthouse_spark.pipeline import curate
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight", "en", "a"),
+        (2, "pack my box with five dozen liquor jugs right now", "en", "a"),
+        (3, "the quick brown fox jumps over something else entirely here", "en", "b"),
+        (4, "wholly unrelated text about spark shuffles and joins", "en", "b"),
+        (5, "un texto distinto en otra lengua sin solapamiento aqui", "es", "a"),
+    ] + [(100 + i, f"filler doc number {i} with unique words w{i} x{i} y{i} z{i}", "en", "b") for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string").cache()
+
+
+def test_decontaminate_removes_exact_overlaps(spark, corpus):
+    ref = spark.createDataFrame(
+        [(0, "benchmark answer: the quick brown fox jumps over")],
+        "rid long, text string",
+    )
+    bad = curate.contamination(corpus, "doc_id", "text", ref, "text", n=5)
+    bad_ids = {r["id"] for r in bad.collect()}
+    assert bad_ids == {1, 3}  # both share the 5-gram "the quick brown fox jumps"
+    clean = curate.decontaminate(corpus, "doc_id", "text", ref, "text", n=5)
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert kept == {r["doc_id"] for r in corpus.collect()} - {1, 3}
+
+
+def test_hash_sample_invariant_under_partitioning(corpus):
+    a = {r["doc_id"] for r in curate.hash_sample(corpus.repartition(1), "doc_id", 0.4).collect()}
+    b = {r["doc_id"] for r in curate.hash_sample(corpus.repartition(13), "doc_id", 0.4).collect()}
+    assert a == b and 0 < len(a) < corpus.count()
+    # salt decorrelates
+    c = {r["doc_id"] for r in curate.hash_sample(corpus, "doc_id", 0.4, salt="s2").collect()}
+    assert c != a
+
+
+def test_stratified_sample_exact_quota(corpus):
+    out = curate.stratified_sample_exact(corpus, "doc_id", ["lang", "source"], 2)
+    counts = {
+        (r["lang"], r["source"]): r["n"]
+        for r in out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        (r["lang"], r["source"]): r["n"]
+        for r in corpus.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    for k, n in counts.items():
+        assert n == min(2, sizes[k])
+    # deterministic: same rows each run
+    again = curate.stratified_sample_exact(corpus, "doc_id", ["lang", "source"], 2)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_pii_scrub_all_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.co.uk ip 192.168.0.255 call +1 415-555-0199 ssn 987-65-4321 keep the rest")],
+        "id long, text string",
+    )
+    out = curate.pii_scrub(df, "text").collect()[0]["text"]
+    assert "<EMAIL>" in out and "<IP>" in out and "<PHONE>" in out and "<SSN>" in out
+    assert "a.b+c@" not in out and "192.168" not in out
+    assert "415-555" not in out and "987-65-4321" not in out
+    assert "keep the rest" in out
