@@ -91,6 +91,12 @@ class SearchEngine:
     now_seconds: float = 1767225600.0  # explicit for determinism (§7.4.6)
     enable_fuzzy: bool = True
     enable_mlt: bool = True
+    # Q6: the reference SHIPS nameContains/titleContains/
+    # descriptionContains commented out (query.go:40-42); this flag
+    # enables them with constant-score substring semantics (the ES
+    # wildcard rewrite scores constant boost). OFF by default = the
+    # reference's active surface.
+    enable_contains: bool = False
 
     # ---- helpers ----------------------------------------------------------
 
@@ -220,7 +226,38 @@ class SearchEngine:
             gate_df = self.docs.select(
                 F.col(self._id), self._col("claim_type").alias("claim_type")
             )
-        return fused.execute(self.index, ms, ps, dfmaps, gate_df)
+        long = fused.execute(self.index, ms, ps, dfmaps, gate_df)
+        if self.enable_contains:
+            long = long.unionByName(self._contains_clauses(s))
+        return long
+
+    def _contains_clauses(self, s: str) -> DataFrame:
+        """The reference's disabled wildcard *s* SHOULD clauses
+        (query.go:221-228 name ^1, :123-128 title ^2, :142-147
+        description ^1) as constant-score substring matches. Scale
+        note: a leading-wildcard query is a full stored-field scan in
+        ES too — that cost is inherent to the clause, which is exactly
+        why the reference ships it disabled; opt-in only."""
+        sl = s.lower()
+        parts = []
+        for logical, boost in (("name", 1.0), ("title", 2.0), ("description", 1.0)):
+            if not self._has(logical):
+                continue
+            parts.append(
+                self.docs.filter(F.lower(self._col(logical)).contains(sl)).select(
+                    F.col(self._id).alias("doc_id"),
+                    F.lit(f"{logical}-contains").alias("clause"),
+                    F.lit(boost).alias("score"),
+                )
+            )
+        if not parts:
+            return self.index.spark.createDataFrame(
+                [], "doc_id long, clause string, score double"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _prefetch(self, s: str, terms: list[str]) -> None:
         """ONE dictionary scan per request: df for every query/compressed

@@ -132,6 +132,7 @@ def composite_search(
     claim_type: str | None = None,
     enable_fuzzy: bool = True,
     enable_mlt: bool = True,
+    enable_contains: bool = False,
 ) -> list[tuple[int, float]]:
     """Returns [(doc_id, total_score)] sorted (score desc, doc_id asc)."""
     idx = {f: FieldIdx(docs, f) for f in ("name", "title", "description", "channel")}
@@ -187,6 +188,16 @@ def composite_search(
     # matchCompressedChannel phrase 5 & stream — unconditional (query.go:211-219)
     _add(q, {d: v * 5 for d, v in idx["channel"].phrase(comp_terms).items()},
          gate=is_stream)
+    # opt-in contains clauses (query.go:40-42 ship these disabled):
+    # constant-score substring, name ^1 / title ^2 / description ^1
+    if enable_contains:
+        sl = s.lower()
+        for fld, boost in (("name", 1.0), ("title", 2.0), ("description", 1.0)):
+            _add(q, {
+                d: boost
+                for d, r in rows.items()
+                if isinstance(r[fld], str) and sl in r[fld].lower()
+            })
 
     out = []
     for d, qs in q.items():

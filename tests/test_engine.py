@@ -216,3 +216,29 @@ def test_quoted_phrase_filter_single_positional_scan(engine):
     opt = ids._jdf.queryExecution().optimizedPlan().toString()
     n_aggs = len(re.findall(r"map_from_entries\(collect_list", opt))
     assert n_aggs == 1, f"expected one fused posmap aggregation, saw {n_aggs}"
+
+
+def test_contains_clauses_opt_in(engine, claims_pd):
+    """Q6 wildcard-contains: the reference ships nameContains/
+    titleContains/descriptionContains commented out (query.go:40-42);
+    enable_contains=True activates them with constant-score substring
+    semantics — rank-identical to the extended pure-Python oracle.
+    Default engines never emit contains clauses."""
+    from dataclasses import replace
+
+    eng2 = replace(engine, enable_contains=True)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in eng2.search(SearchRequest(s="crypto", size=25))
+        .select("doc_id", "score").collect()
+    ]
+    want = composite_search(claims_pd, s="crypto", now_seconds=NOW,
+                            enable_contains=True)[:25]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-9)
+    # the clause frame carries the contains clauses only when enabled
+    clauses = {r["clause"] for r in eng2.clause_scores(SearchRequest(s="crypto")).select("clause").distinct().collect()}
+    assert "name-contains" in clauses or "title-contains" in clauses
+    base = {r["clause"] for r in engine.clause_scores(SearchRequest(s="crypto")).select("clause").distinct().collect()}
+    assert not any(c.endswith("-contains") for c in base)
