@@ -691,6 +691,122 @@ def delete_blocked(
     return out
 
 
+# Static blocklists shipped in the reference binary (blocked.go:25-50,
+# 52-54) — data constants reproduced verbatim, including the duplicated
+# first three entries, exactly as the special-names map is.
+BLOCKED_CHANNELS = [
+    "565be843d5f231d37a037ee6d5276dc1618b5ca3",
+    "3dc1703d218fdc6c1cdaa1b32dbd6c143554ba4b",
+    "b8b4f68a4e9d9189552e70c508c92cf7b52e9763",
+    "565be843d5f231d37a037ee6d5276dc1618b5ca3",
+    "3dc1703d218fdc6c1cdaa1b32dbd6c143554ba4b",
+    "b8b4f68a4e9d9189552e70c508c92cf7b52e9763",
+    "6be2cbc811bf3106c51ebaf154442d1d231a0104",
+    "0bc958169c77733b5d22bcc860e426713c9b6fda",
+    "5894d3c795fc475b23fbb4e5dca1b59cd6222254",
+    "1e2c80f572c79b91ed4801932da6e6b2c95545ac",
+    "b5de24be04dcbef2becdcbbcdf32fcd4ed61ca4d",
+    "9fc0341d2c44a0c2177983cd56ae57c7bf6f35b9",
+    "0db48d6ae29035a62ce460ac40b7b05adab99c29",
+    "521dca9f2cdc2962c37237d09c8126fa39c56e1b",
+    "aa1b30af054fabf370fe5ca265296e9354844847",
+    "1092b755f939893d459dc8b136e8be2b82ecf4ca",
+    "7685064d832ced149c5c04e95bcebe5f005d2c46",
+    "1580d744fe8cc25c876e2742db5be8b0e22801c9",
+    "25ea58cb4cd034077dfbfd6bfcc13eff2ea5d3b0",
+    "12d4a23b27ab8722ca8550c755048ebf5ca242a8",
+    "e8d1b8c9e9767c35e3c6729f196e9407e5d9a988",
+    "4c971f1076e39845c1643cdcf41d2287e1ea4961",  # @Thumbnails
+    "2ad860f494345417824e30eb85f4ce7d1fea9cff",  # @Thumbnails2
+    "f2cf43b86b9d70175dc22dbb9ff7806241d90780",  # @Thumbnails3
+]
+BLOCKED_CLAIMS = ["1fad0acce83a4006ad46788bfc3de197bf421a21"]
+
+
+def process_blocked_list(
+    cindex: CompressedIndex,
+    docs_source: DataFrame | None = None,
+    outpoints: list[str] | None = None,
+    claim_id_col: str = "claim_id",
+    publisher_col: str = "channel_claim_id",
+    tx_col: str = "transaction_hash_update",
+    vout_col: str = "vout_update",
+    extra_channels: list[str] = BLOCKED_CHANNELS,
+    extra_claims: list[str] = BLOCKED_CLAIMS,
+    list_name: str = "blockedlist_sync",
+) -> CompressedIndex:
+    """The blocked/filtered-list job (P12; blocked.go:56-180):
+
+    - ``outpoints`` ("txid:vout" strings — the internal-apis fetch leg,
+      injected by the caller so the environment-specific HTTP client
+      stays out of the engine) resolve to claim ids via the chainquery
+      claim table analogue (``docs_source``, or the index's own docs);
+    - every resolved claim is deleted AND expanded as a channel
+      (blocked.go:122-141 deletes all claims with publisher_id =
+      claimID — harmless no-op for non-channels);
+    - the static blocklists (verbatim constants above) delete the
+      channels' content and the listed claims directly.
+
+    Everything lands in ONE apply_incremental delete batch. The
+    blocklist frames are driver-literal and tiny → broadcast semi-joins
+    against the corpus; the corpus itself is never collected."""
+    from lighthouse_spark.api import metrics
+
+    metrics.JobLoad.inc(list_name)
+    t_job = time.time()
+    try:
+        spark = cindex.spark
+        docs = docs_source if docs_source is not None else cindex.docs
+        id_col = cindex.manifest["doc_id_col"]
+
+        resolved = None
+        if outpoints and tx_col in docs.columns and vout_col in docs.columns:
+            rows = []
+            for op in outpoints:
+                tx, _, vout = str(op).partition(":")
+                rows.append((tx, int(vout or 0)))
+            ops = spark.createDataFrame(rows, "_tx string, _vout long")
+            resolved = (
+                docs.join(
+                    F.broadcast(ops),
+                    (docs[tx_col] == F.col("_tx")) & (docs[vout_col] == F.col("_vout")),
+                    "left_semi",
+                )
+                .select(F.col(claim_id_col).alias("_cid"))
+                .distinct()
+            )
+
+        def lits(vals):
+            return spark.createDataFrame([(v,) for v in sorted(set(vals))], "_cid string")
+
+        direct = [f for f in (resolved, lits(extra_claims) if extra_claims else None) if f is not None]
+        chans = [f for f in (resolved, lits(extra_channels) if extra_channels else None) if f is not None]
+
+        del_parts = []
+        if direct and claim_id_col in docs.columns:
+            del_parts.append(
+                docs.join(
+                    F.broadcast(_union(direct).distinct()),
+                    docs[claim_id_col] == F.col("_cid"),
+                    "left_semi",
+                ).select(F.col(id_col).alias("doc_id"))
+            )
+        if chans and publisher_col in docs.columns:
+            del_parts.append(
+                docs.join(
+                    F.broadcast(_union(chans).distinct()),
+                    docs[publisher_col] == F.col("_cid"),
+                    "left_semi",
+                ).select(F.col(id_col).alias("doc_id"))
+            )
+        if not del_parts:
+            return cindex
+        return apply_incremental(cindex, delete_ids=_union(del_parts).distinct())
+    finally:
+        metrics.JobLoad.dec(list_name)
+        metrics.job(t_job, list_name)
+
+
 # --- enrichment counts (S11; views.go/subs.go) -----------------------------
 
 def patch_counts(

@@ -308,3 +308,45 @@ def test_high_churn_tombstone_masking_uses_anti_join(spark):
     small = _mask_dead(fr, [1, 2, 3], spark)
     assert "LeftAnti" not in small._jdf.queryExecution().optimizedPlan().toString()
     assert small.count() == 97
+
+
+def test_process_blocked_list_full_job(spark, tmp_path):
+    """blocked.go:56-180 end-to-end: outpoints resolve to claim ids via
+    the chainquery-analogue columns, each resolved claim is deleted AND
+    channel-expanded, and the static verbatim blocklists apply — one
+    delete batch."""
+    from lighthouse_spark.sources.claims import synthetic_claims
+    from lighthouse_spark.sources.sync import BLOCKED_CHANNELS, process_blocked_list
+
+    claims = synthetic_claims(spark, 200).cache()
+    # give one stream's channel the FIRST static blocked channel id and
+    # wire chainquery-style outpoint columns
+    chan = claims.filter(F.col("claim_type") == "channel").limit(1).collect()[0]
+    claims2 = (
+        claims.withColumn(
+            "channel_claim_id",
+            F.when(F.col("doc_id") % 7 == 0, BLOCKED_CHANNELS[0]).otherwise(
+                F.col("channel_claim_id")
+            ),
+        )
+        .withColumn("transaction_hash_update", F.concat(F.lit("tx"), F.col("doc_id")))
+        .withColumn("vout_update", F.pmod(F.col("doc_id"), F.lit(3)).cast("long"))
+    ).cache()
+    ci = build_and_save(
+        claims2, "doc_id", {"name": "name"}, str(tmp_path / "blk"), mode="simple", n_shards=2
+    )
+    # outpoint for the channel claim itself → its own doc AND all docs
+    # published under it must go
+    target = claims2.filter(F.col("claim_id") == chan["claim_id"]).collect()[0]
+    op = f"tx{target['doc_id']}:{target['doc_id'] % 3}"
+    n_static = claims2.filter(F.col("channel_claim_id") == BLOCKED_CHANNELS[0]).count()
+    n_chan_docs = claims2.filter(F.col("claim_id") == chan["claim_id"]).count()
+    n_pub = claims2.filter(F.col("channel_claim_id") == chan["claim_id"]).count()
+    assert n_static > 0
+    before = ci.docs.count()
+    ci = process_blocked_list(ci, docs_source=claims2, outpoints=[op])
+    after = ci.docs.count()
+    assert ci.docs.filter(F.col("channel_claim_id") == BLOCKED_CHANNELS[0]).count() == 0
+    assert ci.docs.filter(F.col("claim_id") == chan["claim_id"]).count() == 0
+    assert ci.docs.filter(F.col("channel_claim_id") == chan["claim_id"]).count() == 0
+    assert after == before - n_static - n_chan_docs - n_pub
