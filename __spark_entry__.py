@@ -74,6 +74,26 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.top_k(scored, docs, "doc_id", k=10, columns=["doc_id"], round_score=ROUND)
 
 
+_BATCH_QUERIES = {
+    "q1": "spark merge window",
+    "q2": "the fast big",
+    "q3": "hash join stream",
+}
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: top-5 BM25 for MANY queries in ONE postings
+    scan (query-log scoring / RAG-set building) — broadcast
+    (query_id, term, idf-weight) spec, per-(query, doc) sum, row_number
+    ≤ k per query."""
+    docs, idx = _doc_index(spark, sf_dir)
+    qs = {k: tokenize_text(v, "simple") for k, v in _BATCH_QUERIES.items()}
+    out = search.batch_match_topk(idx, "text", qs, k=5)
+    return out.select(
+        "query_id", "doc_id", F.round("score", ROUND).alias("score"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: corpus statistics (df per term) — the BM25 inputs, exposed."""
     _, idx = _doc_index(spark, sf_dir)
@@ -690,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_wand": q_bm25_wand,
         "bm25_filtered": q_bm25_filtered,
+        "bm25_batch": q_bm25_batch,
         "phrase_topk": q_phrase_topk,
         "term_stats_top": q_term_stats,
         "doc_stats": q_doc_stats,
@@ -862,6 +883,16 @@ _GROUPS_SQL = f"""
 
 
 _SHA_UNIT = "('0x' || substr(sha256(doc_id::VARCHAR), 1, 15))::BIGINT / 1152921504606846976.0"
+
+
+def _batch_query_values() -> str:
+    from collections import Counter
+
+    vals = []
+    for qid, q in sorted(_BATCH_QUERIES.items()):
+        for t, c in sorted(Counter(tokenize_text(q, "simple")).items()):
+            vals.append(f"({qid!r}, {t!r}, {float(c)})")
+    return ", ".join(vals)
 
 
 def _pii_oracle_sql() -> str:
@@ -1116,6 +1147,26 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand": _BM25_CTES
         + f"SELECT doc_id, round(score, {ROUND}) AS score FROM scored "
         "ORDER BY score DESC, doc_id ASC LIMIT 10",
+        "bm25_batch": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            c AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            q(query_id, term, qtf) AS (VALUES {_batch_query_values()}),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     sum(q.qtf * ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                         * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))) AS score
+              FROM tf JOIN q USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN c
+              GROUP BY 1, 2),
+            r AS (SELECT query_id, doc_id, score,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, doc_id ASC) AS rk
+                  FROM scored)
+            SELECT query_id, doc_id, round(score, {ROUND}) AS score, rk::INT AS rank
+            FROM r WHERE rk <= 5 ORDER BY query_id, rank""",
         "prefix_expand": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok

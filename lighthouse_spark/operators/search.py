@@ -77,6 +77,68 @@ def match_terms(
     return per_term.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
 
+def batch_match_topk(
+    index: InvertedIndex,
+    field: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 for MANY queries in ONE postings scan — the batch
+    retrieval shape (scoring a day's query log, building a RAG training
+    set): the per-request serving path pays one scan per query, which
+    at 10k queries is 10k scans of the same index.
+
+    Plan: postings filtered to the UNION of all query terms, joined to
+    a broadcast (query_id, term, qtf, df) spec (df prefetched in one
+    dictionary lookup, idf computed driver-side into the spec), summed
+    per (query_id, doc_id), then row_number ≤ k per query. The window
+    partitions by query_id — each query's candidate set, never the
+    corpus; a pathological query matching everything is capped by its
+    own candidates, and k bounds the output.
+
+    Returns (query_id, doc_id, score, rank). Queries whose terms are
+    all absent return no rows (same as the per-query path)."""
+    n, avgdl = index.corpus_stats().get(field, (0, 1.0))
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    if not all_terms or n == 0:
+        return index.spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int"
+        )
+    dfm = prefetch_df(index, [field], all_terms)[field]
+    rows = []
+    for qid, ts in sorted(queries.items()):
+        for t, c in sorted(Counter(ts).items()):
+            if dfm.get(t):
+                rows.append((qid, t, float(c) * scoring.idf_py(dfm[t], n)))
+    if not rows:
+        return index.spark.createDataFrame(
+            [], "query_id string, doc_id long, score double, rank int"
+        )
+    spec = index.spark.createDataFrame(rows, "query_id string, term string, w double")
+    live = sorted({t for _, t, _ in rows})
+    p = _field_postings(index, field, live)
+    from pyspark.sql import Window
+
+    scored = (
+        p.join(F.broadcast(spec), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("w") * scoring.tf_norm_col(F.col("tf"), F.col("dl"), avgdl)).alias(
+                "score"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def prefetch_df(
     index: InvertedIndex, fields: list[str], terms: list[str]
 ) -> dict[str, dict[str, int]]:
