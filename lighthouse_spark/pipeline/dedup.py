@@ -261,7 +261,12 @@ def lsh_dedup_groups(
 
     Semantics: components of the verified STAR-edge graph — the
     standard scalable relaxation of full pairwise clustering (identical
-    -content groups cluster exactly; pinned by tests/test_skew.py)."""
+    -content groups cluster exactly; pinned by tests/test_skew.py).
+
+    The returned frame is backed by the final persisted label state
+    (one (id, g) row per doc — O(corpus) cache, the propagation loop's
+    own working set); write or collect it, then `.unpersist()` if the
+    session lives on."""
     shdf = with_shingles(df, id_col, text_col, n, mode).persist()
     banded = minhash_banded(shdf, num_perm, bands)
     reps = banded.groupBy("band", "bucket").agg(F.min("id").alias("rep"))
