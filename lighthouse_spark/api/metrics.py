@@ -18,10 +18,12 @@ import time
 # prometheus.DefBuckets — the defaults the reference's collectors use
 DEFAULT_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
 
-# One registry-wide lock (Prometheus client collectors are thread-safe;
+# Per-collector locks (matching the Prometheus client design):
 # SearchService is called from multiple threads and sync() runs driver
-# threads — unsynchronized read-modify-write would drop observations).
-_LOCK = threading.Lock()
+# threads — unsynchronized read-modify-write would drop observations,
+# and an unlocked snapshot() could tear mid-update or crash iterating
+# a dict another thread is inserting into. Locks are per instance so
+# unrelated collectors never contend on the hot search path.
 
 
 class Histogram:
@@ -32,9 +34,10 @@ class Histogram:
         self.bucket_counts = [0] * (len(self.bounds) + 1)  # +Inf tail
         self.sum = 0.0
         self.count = 0
+        self._lock = threading.Lock()
 
     def observe(self, value: float) -> None:
-        with _LOCK:
+        with self._lock:
             self.sum += value
             self.count += 1
             for i, b in enumerate(self.bounds):
@@ -44,13 +47,16 @@ class Histogram:
             self.bucket_counts[-1] += 1
 
     def snapshot(self) -> dict:
+        with self._lock:
+            counts = list(self.bucket_counts)
+            total, s = self.count, self.sum
         out = {}
         cum = 0
-        for b, n in zip(self.bounds, self.bucket_counts):
+        for b, n in zip(self.bounds, counts):
             cum += n
             out[str(b)] = cum
-        out["+Inf"] = self.count
-        return {"count": self.count, "sum": round(self.sum, 6), "buckets": out}
+        out["+Inf"] = total
+        return {"count": total, "sum": round(s, 6), "buckets": out}
 
 
 class HistogramVec:
@@ -60,35 +66,40 @@ class HistogramVec:
         self.labels = labels
         self.buckets = buckets
         self._h: dict[tuple[str, ...], Histogram] = {}
+        self._lock = threading.Lock()
 
     def with_labels(self, *values: str) -> Histogram:
         key = tuple(str(v) for v in values)
-        with _LOCK:
+        with self._lock:
             if key not in self._h:
                 self._h[key] = Histogram(self.buckets)
             return self._h[key]
 
     def snapshot(self) -> dict:
-        return {"|".join(k): h.snapshot() for k, h in sorted(self._h.items())}
+        with self._lock:
+            items = sorted(self._h.items())  # stable view of the key set
+        return {"|".join(k): h.snapshot() for k, h in items}
 
 
 class GaugeVec:
     def __init__(self, labels: tuple[str, ...]):
         self.labels = labels
         self._g: dict[tuple[str, ...], int] = {}
+        self._lock = threading.Lock()
 
     def inc(self, *values: str) -> None:
         key = tuple(str(v) for v in values)
-        with _LOCK:
+        with self._lock:
             self._g[key] = self._g.get(key, 0) + 1
 
     def dec(self, *values: str) -> None:
         key = tuple(str(v) for v in values)
-        with _LOCK:
+        with self._lock:
             self._g[key] = self._g.get(key, 0) - 1
 
     def snapshot(self) -> dict:
-        return {"|".join(k): v for k, v in sorted(self._g.items())}
+        with self._lock:
+            return {"|".join(k): v for k, v in sorted(self._g.items())}
 
 
 # module-level registry — mirrors the Go promauto globals

@@ -125,11 +125,21 @@ def stratified_sample_exact(
 
 
 # regex intersection of Java (Spark) and RE2 (DuckDB 'g' flag):
-# char classes + bounded quantifiers only, no lookaround.
+# char classes + bounded quantifiers only, no lookaround. Phone forms
+# split by their FIRST character because \b only exists at a word/non-
+# word transition: a pattern starting \b\+? can never consume a '+'
+# after whitespace (space→'+' is no boundary), which both leaked the
+# '+' and skipped non-NANP numbers entirely. '+'-anchored and
+# '('-anchored variants need no boundary (those chars can't sit inside
+# a digit run); the bare-digit variant keeps \b on both ends so it
+# never fires inside a longer number.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\b\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    ("phone_intl", r"\+\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    ("phone_e164", r"\+\d{7,15}\b", "<PHONE>"),
+    ("phone_paren", r"\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    ("phone_us", r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
 )
 

@@ -117,7 +117,7 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 def bucket_self_join_pairs(
-    rows: DataFrame, key_cols: list[str], bucket_cap: int = 1000
+    rows: DataFrame, key_cols: list[str], bucket_cap: int = 1000, id_col: str = "id"
 ) -> DataFrame:
     """All (id_a < id_b) pairs of rows sharing a bucket key — with GRID
     SALTING of oversized buckets (VERDICT r2 wrong #3).
@@ -134,14 +134,19 @@ def bucket_self_join_pairs(
     Note the OUTPUT of a mega-group is inherently O(m²) pairs; when the
     consumer only needs duplicate clusters, use lsh_dedup_groups —
     O(corpus) star edges + connected components, never the pair list.
+
+    ``rows`` must carry the row identity in ``id_col`` (default "id",
+    the convention of every frame in this module) plus ``key_cols``.
     """
+    if id_col not in rows.columns:
+        raise ValueError(f"bucket_self_join_pairs: no {id_col!r} column in {rows.columns}")
     cnt = rows.groupBy(*key_cols).agg(F.count("*").alias("_m"))
     r = rows.join(cnt, key_cols)
     s = F.greatest(F.ceil(F.col("_m") / F.lit(bucket_cap)), F.lit(1)).cast("int")
-    salt = F.pmod(F.xxhash64("id"), s).cast("int")
+    salt = F.pmod(F.xxhash64(id_col), s).cast("int")
     grid = F.explode(F.sequence(F.lit(0), s - F.lit(1)))
-    left = r.select("id", *key_cols, salt.alias("_u"), grid.alias("_v"))
-    right = r.select("id", *key_cols, grid.alias("_u"), salt.alias("_v"))
+    left = r.select(F.col(id_col).alias("id"), *key_cols, salt.alias("_u"), grid.alias("_v"))
+    right = r.select(F.col(id_col).alias("id"), *key_cols, grid.alias("_u"), salt.alias("_v"))
     x, y = left.alias("x"), right.alias("y")
     cond = F.col("x.id") < F.col("y.id")
     for k in [*key_cols, "_u", "_v"]:
@@ -254,10 +259,21 @@ def lsh_dedup_groups(
     (min-id representative → member) — O(rows · bands) edges no matter
     how big a duplicate group gets. Star edges are exact-Jaccard
     verified, then clusters are the connected components of the
-    verified edge graph via iterative min-label propagation (each
-    round: one join + one min-aggregation; early-exits on a converged
-    round, ``max_iter`` bounds pathological chains). Docs with no
-    verified edge keep their own id as group_id.
+    verified edge graph via min-label propagation WITH POINTER
+    DOUBLING (each round also substitutes g := label(g), so a chain of
+    diameter D converges in O(log D) rounds; ``max_iter`` rounds
+    without convergence RAISES rather than returning silently-split
+    clusters). Docs with no verified edge keep their own id as
+    group_id.
+
+    Relaxation note: components of the VERIFIED STAR edges can be
+    finer than components of the full verified pair graph — a bucket
+    {A,B,C} whose rep A clears the threshold against C but not B loses
+    the B–C pair. This is the standard scalable trade (pair-complete
+    clustering is O(m²) per group); it is exact whenever duplicate
+    groups are near-cliques (rep-vs-member similarity clears the same
+    threshold the pairs do), which the driver-contract corpus check
+    (`dedup_groups` vs full-pair components) pins on the test data.
 
     Semantics: components of the verified STAR-edge graph — the
     standard scalable relaxation of full pairwise clustering (identical
@@ -284,40 +300,52 @@ def lsh_dedup_groups(
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("g")).persist()
     labels.count()
     cached = labels
-    for _ in range(max_iter):
-        nbr = (
-            und.join(
-                labels.select(F.col("id").alias("id_b"), F.col("g").alias("g_b")),
-                "id_b",
+    converged = False
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                und.join(
+                    labels.select(F.col("id").alias("id_b"), F.col("g").alias("g_b")),
+                    "id_b",
+                )
+                .groupBy("id_a")
+                .agg(F.min("g_b").alias("g_nbr"))
+                .select(F.col("id_a").alias("id"), "g_nbr")
             )
-            .groupBy("id_a")
-            .agg(F.min("g_b").alias("g_nbr"))
-            .select(F.col("id_a").alias("id"), "g_nbr")
-        )
-        step = (
-            labels.select("id", F.col("g").alias("g_prev"))
-            .join(nbr, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("g_prev"), F.coalesce(F.col("g_nbr"), F.col("g_prev"))
-                ).alias("g"),
-                (F.coalesce(F.col("g_nbr"), F.col("g_prev")) < F.col("g_prev")).alias(
-                    "_chg"
-                ),
+            hop = labels.select(F.col("id").alias("_hk"), F.col("g").alias("g_hop"))
+            g_mid = F.least(
+                F.col("g_prev"), F.coalesce(F.col("g_nbr"), F.col("g_prev"))
             )
-            .persist()
-        )
-        changed = step.filter(F.col("_chg")).count()
-        cached.unpersist()
-        cached = step
-        labels = step.drop("_chg")
-        if changed == 0:
-            break
-    out = labels.select("id", F.col("g").alias("group_id"))
-    und.unpersist()
-    shdf.unpersist()
-    return out
+            g_new = F.least(F.col("g_mid"), F.coalesce(F.col("g_hop"), F.col("g_mid")))
+            step = (
+                labels.select("id", F.col("g").alias("g_prev"))
+                .join(nbr, "id", "left")
+                .withColumn("g_mid", g_mid)
+                .join(hop, F.col("g_mid") == F.col("_hk"), "left")
+                .select(
+                    "id",
+                    g_new.alias("g"),
+                    (g_new < F.col("g_prev")).alias("_chg"),
+                )
+                .persist()
+            )
+            changed = step.filter(F.col("_chg")).count()
+            cached.unpersist()
+            cached = step
+            labels = step.drop("_chg")
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"lsh_dedup_groups: label propagation still changing after "
+                f"{max_iter} rounds — raise max_iter (with pointer doubling "
+                f"this implies component diameter > 2^{max_iter})"
+            )
+    finally:
+        und.unpersist()
+        shdf.unpersist()
+    return labels.select("id", F.col("g").alias("group_id"))
 
 
 # --------------------------------------------------------------------------

@@ -72,3 +72,22 @@ def test_pii_scrub_all_kinds(spark):
     assert "a.b+c@" not in out and "192.168" not in out
     assert "415-555" not in out and "987-65-4321" not in out
     assert "keep the rest" in out
+    # the '+' of an international prefix must be consumed too
+    assert "+<PHONE>" not in out and "+1" not in out
+
+
+def test_pii_scrub_phone_forms(spark):
+    rows = [
+        (1, "bare 415 555 0199 end"),
+        (2, "dashed 415-555-0199 end"),
+        (3, "paren (415) 555-0199 end"),
+        (4, "intl +1 415 555 0199 end"),
+        (5, "e164 +14155550199 end"),
+        (6, "not a phone: 12345678901 end"),  # 11-digit run, no boundary fit
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["text"] for r in curate.pii_scrub(df, "text").collect()}
+    for i in (1, 2, 3, 4, 5):
+        assert "<PHONE>" in got[i], got[i]
+        assert "555" not in got[i] and "+" not in got[i], got[i]
+    assert "12345678901" in got[6]  # untouched — not a phone shape

@@ -116,3 +116,40 @@ def test_query_on_hot_term_exact(skewed):
     top_ids = [r["doc_id"] for r in got]
     tail7 = {r["doc_id"] for r in docs.filter(F.col("content").contains("tail7")).collect()}
     assert set(top_ids) <= tail7
+
+
+def test_dedup_groups_chain_converges_with_pointer_doubling(spark):
+    """A CHAIN of near-duplicates (incrementally edited boilerplate)
+    has component diameter >> 2; pointer doubling must converge within
+    max_iter=4 (2^4 hops) where plain propagation would need one round
+    per hop — and the result must equal union-find over the exact
+    Jaccard pair graph."""
+    from lighthouse_spark.pipeline.dedup import lsh_dedup_groups, ngram_jaccard_pairs
+
+    words = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(words[i : i + 12])) for i in range(14)]  # sliding window
+    rows += [(100 + i, f"unrelated text {i} a{i} b{i} c{i} d{i} e{i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    got = {
+        r["id"]: r["group_id"]
+        for r in lsh_dedup_groups(docs, "doc_id", "text", threshold=0.5, max_iter=4).collect()
+    }
+    # independent oracle: union-find over the exact pair graph
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    parent = {r[0]: r[0] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = find(p["id_a"]), find(p["id_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = {i: find(i) for i, _ in rows}
+    assert got == want
+    # the chain genuinely needed multi-hop propagation
+    assert len({g for i, g in want.items() if i < 14}) < 14
