@@ -319,10 +319,12 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS via star edges + min-label propagation
     (the mega-dup-group path: O(corpus) rows where the pair list is
     O(m²)). Oracle = connected components of the exact-Jaccard pair
-    graph (recursive CTE): equality asserts the verified star edges
-    span the same components as the full pair set on this corpus —
-    sound by construction, complete because the 16x4 banding has full
-    recall here (pinned by dedup_minhash)."""
+    graph (recursive CTE). Star-edge components are in general a
+    REFINEMENT of pair-graph components (a bucket rep can miss the
+    threshold a member pair clears — see lsh_dedup_groups docstring);
+    this check pins that on THIS corpus the two coincide, i.e. its
+    duplicate groups are near-cliques where the relaxation is exact —
+    a data property the fixed driver fixture makes a stable gate."""
     from lighthouse_spark.pipeline import dedup
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
