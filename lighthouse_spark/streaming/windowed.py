@@ -69,6 +69,30 @@ def windowed_event_rollup(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-ify an at-least-once stream: drop rows whose
+    ``id_cols`` already appeared within the watermark window
+    (dropDuplicatesWithinWatermark — the state store only keeps keys
+    younger than the watermark, so a 100 TB stream's dedup state is
+    bounded by the redelivery horizon, not the stream's history).
+
+    On a batch frame the same call degrades to a plain dropDuplicates
+    (full-history dedup) — the batch twin the tests pin against. A
+    duplicate delivered LATER than the watermark is out of contract
+    (the source's redelivery window must fit the watermark), exactly
+    as Spark documents for at-least-once sinks."""
+    src = events.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("_ts", watermark)
+        return src.dropDuplicatesWithinWatermark(list(id_cols)).drop("_ts")
+    return src.dropDuplicates(list(id_cols)).drop("_ts")
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

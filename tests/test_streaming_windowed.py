@@ -145,3 +145,42 @@ def test_sessionize_stateful(spark, tmp_path):
     assert sorted(emitted) == closed
     # sanity on the oracle itself: user 1 closed A, user 2 closed C
     assert closed == [(1, 0.0, 100.0, 2, 5.0), (2, 0.0, 50.0, 2, 20.0)]
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """At-least-once redelivery: duplicate (user_id, ts) events across
+    micro-batches must emit exactly once; streaming output == the batch
+    twin's dropDuplicates over the same rows."""
+    e1 = _ev(1, 0, "click", 1.0)
+    e2 = _ev(2, 600, "click", 2.0)
+    e3 = _ev(1, 1200, "purchase", 3.0)
+    batches = [
+        [e1, e2],
+        [e1, e3],        # e1 redelivered in a later micro-batch
+        [e2, e3, e3],    # more redeliveries, incl. within-batch
+    ]
+    stream = _drop_dir_stream(spark, tmp_path, batches, "dd")
+    got = []
+
+    def sink(bdf, bid):
+        got.extend(
+            (r["user_id"], r["ts"], r["event_type"], r["value"]) for r in bdf.collect()
+        )
+
+    q = (
+        W.dedup_stream(stream, ["user_id", "ts"], watermark="1 hour")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    flat = [r for b in batches for r in b]
+    want = sorted(
+        (r["user_id"], r["ts"], r["event_type"], r["value"])
+        for r in W.dedup_stream(
+            spark.createDataFrame(flat, EVENTS_SCHEMA), ["user_id", "ts"]
+        ).collect()
+    )
+    assert sorted(got) == want
+    assert len(got) == 3  # e1, e2, e3 exactly once each
