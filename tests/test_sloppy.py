@@ -141,3 +141,66 @@ def test_repeated_terms_fall_back_to_window(slop_corpus):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
+# ---- 3. property-based: prefix classes are sound for ALL words -------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    term=st.text(alphabet=_ALPHA, min_size=3, max_size=5),
+    word=st.text(alphabet=_ALPHA, min_size=1, max_size=8),
+)
+def test_prefix_classes_sound_property(term, word):
+    """For ANY d=1 term and ANY word: lev(word, term) <= 1 and
+    len(word) >= 2 implies the word starts with one of the classes
+    (the prune may only remove true negatives)."""
+    from lighthouse_spark.operators.expand import lev_prefix_classes
+
+    classes = lev_prefix_classes(term, 1)
+    assert classes is not None
+    if _lev(word, term) <= 1 and len(word) >= 2:
+        assert any(word.startswith(c) for c in classes), (term, word)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    pos_a=st.lists(st.integers(0, 30), min_size=1, max_size=8, unique=True),
+    pos_b=st.lists(st.integers(0, 30), min_size=1, max_size=8, unique=True),
+    slop=st.integers(0, 6),
+)
+def test_sloppy_freq_invariants_property(pos_a, pos_b, slop):
+    """Lucene sloppy freq structural invariants for a 2-term phrase:
+    non-negative; zero iff no adjusted positions come within slop; each
+    scored window weighs at most 1; total bounded by the smaller
+    position list; exact adjacency pairs always contribute 1."""
+    import numpy as np
+
+    a = np.array(sorted(pos_a))
+    b = np.array(sorted(pos_b))
+    f = lucene_sloppy_freq([a, b], slop)
+    assert f >= 0.0
+    adj_a, adj_b = a, b - 1
+    min_dist = min(abs(int(x) - int(y)) for x in adj_a for y in adj_b)
+    if min_dist > slop:
+        assert f == 0.0
+    else:
+        assert f > 0.0
+    assert f <= min(a.size, b.size) + 1e-9
