@@ -687,6 +687,37 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type (the per-channel trending
+    shape): rank window partitioned by the group key — each partition
+    is one group's rows, never the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", F.round("value", ROUND).alias("value"))
+        .orderBy("event_type", "rank")
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of events (10 bins over [0, 100)):
+    pure integer bucketing + groupBy — the map-side-combining
+    aggregation shape monitoring dashboards need at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.least(F.greatest(F.floor(F.col("value") / 10), F.lit(0)), F.lit(9))
+    return (
+        ev.groupBy(bin_.cast("int").alias("bin"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), ROUND).alias("sum_value"))
+        .orderBy("bin")
+    )
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 blocked-list shape: anti-join — customers with no
     high-value open orders (predicate keeps the result non-vacuous)."""
@@ -732,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_page": q_topk_page,
         "dedup_rank": q_dedup_rank,
         "events_rollup": q_events_rollup,
+        "topk_per_group": q_topk_per_group,
+        "value_histogram": q_value_histogram,
         "windowed_rollup": q_windowed_rollup,
         "anti_join": q_anti_join,
         # training-data pipeline
@@ -1379,6 +1412,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+        "topk_per_group": f"""
+            WITH r AS (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS rank
+              FROM events)
+            SELECT event_type, rank::INT AS rank, event_id,
+                   round(value, {ROUND}) AS value
+            FROM r WHERE rank <= 3 ORDER BY event_type, rank""",
+        "value_histogram": f"""
+            SELECT least(greatest(floor(value / 10), 0), 9)::INT AS bin,
+                   count(*) AS n, round(sum(value), {ROUND}) AS sum_value
+            FROM events GROUP BY 1 ORDER BY bin""",
         "anti_join": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (
