@@ -139,6 +139,9 @@ PII_PATTERNS = (
     ("phone_intl", r"\+\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
     ("phone_e164", r"\+\d{7,15}\b", "<PHONE>"),
     ("phone_paren", r"\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    # bare country code ("1-415-555-0199"): the separator after the
+    # code is MANDATORY so pure digit runs never match mid-number
+    ("phone_cc", r"\b\d{1,3}[-. ]\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
     ("phone_us", r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
 )

@@ -302,7 +302,10 @@ def lsh_dedup_groups(
     cached = labels
     converged = False
     try:
-        for _ in range(max_iter):
+        # max_iter PRODUCTIVE rounds + 1 confirming round: convergence
+        # is only observable as a zero-change round, so a graph that
+        # needs exactly max_iter label moves must not raise spuriously
+        for _ in range(max_iter + 1):
             nbr = (
                 und.join(
                     labels.select(F.col("id").alias("id_b"), F.col("g").alias("g_b")),
@@ -337,10 +340,11 @@ def lsh_dedup_groups(
                 converged = True
                 break
         if not converged:
+            cached.unpersist()  # don't leak O(corpus) label state on the error path
             raise RuntimeError(
                 f"lsh_dedup_groups: label propagation still changing after "
-                f"{max_iter} rounds — raise max_iter (with pointer doubling "
-                f"this implies component diameter > 2^{max_iter})"
+                f"{max_iter} productive rounds — raise max_iter (with pointer "
+                f"doubling this implies component diameter > 2^{max_iter})"
             )
     finally:
         und.unpersist()

@@ -109,18 +109,27 @@ def _union(frames: list[DataFrame]) -> DataFrame:
 _ISIN_MAX = 10_000
 
 
-def _filter_ids(fr: DataFrame, col, ids, spark, keep: bool) -> DataFrame:
+def _filter_ids(fr: DataFrame, col, ids, spark, keep: bool, ids_df=None) -> DataFrame:
     """Keep (or drop) rows whose id column is in ``ids`` — `.isin`
     plan literals for small lists, a broadcast SEMI/ANTI join beyond
     _ISIN_MAX (VERDICT r2 wrong #5: mega IN-lists bloat analysis and
-    task binaries). ``col`` is the id Column expression."""
+    task binaries). ``col`` is the id Column expression. NULL ids are
+    KEPT on the drop path in both branches (a bare ~isin would
+    NULL-filter them, making survival depend on the list size);
+    ``ids_df`` lets a caller reuse one driver frame across calls."""
     ids = [int(x) for x in ids]
     if len(ids) <= _ISIN_MAX:
-        return fr.filter(col.isin(ids) if keep else ~col.isin(ids))
-    idf = spark.createDataFrame([(i,) for i in ids], "_fid long")
+        if keep:
+            return fr.filter(col.isin(ids))
+        return fr.filter(col.isNull() | ~col.isin(ids))
+    idf = ids_df if ids_df is not None else _ids_frame(ids, spark)
     return fr.join(
         F.broadcast(idf), col == F.col("_fid"), "left_semi" if keep else "left_anti"
     )
+
+
+def _ids_frame(ids, spark) -> DataFrame:
+    return spark.createDataFrame([(int(i),) for i in ids], "_fid long")
 
 
 def _mask_dead(fr: DataFrame, dead, spark) -> DataFrame:
@@ -183,6 +192,10 @@ def apply_incremental(
     aff_ids = sorted(set(up_id_list) | set(del_id_list))
     if not aff_ids:
         return cindex
+    # one driver frame reused by every aff_ids filter below (several
+    # doc_stats sources + the docs rewrite) instead of re-serializing
+    # the list per call on big catch-up batches
+    aff_df = _ids_frame(aff_ids, spark) if len(aff_ids) > _ISIN_MAX else None
 
     # ---- old versions: ONE tagged aggregation over all doc_stats
     # sources gives (per source, per field) removed n/dl AND the id
@@ -196,7 +209,7 @@ def apply_incremental(
         (s, f"{cindex.path}/doc_stats_delta/{s}") for s in man.get("deltas", [])
     ]
     for sname, spath in sources:
-        fr = _filter_ids(spark.read.parquet(spath), F.col("doc_id"), aff_ids, spark, keep=True)
+        fr = _filter_ids(spark.read.parquet(spath), F.col("doc_id"), aff_ids, spark, keep=True, ids_df=aff_df)
         # rows already dead in this source must not re-count
         fr = _mask_dead(fr, prev_tombs.get(sname, []), spark)
         src_frames.append(fr.withColumn("_src", F.lit(sname)))
@@ -308,7 +321,7 @@ def apply_incremental(
             old_b = spark.read.parquet(
                 *[f"{cindex.path}/{bucket_map[str(b)]}" for b in existing]
             )
-            parts.append(_filter_ids(old_b.select(doc_cols), F.col(id_col), aff_ids, spark, keep=False))
+            parts.append(_filter_ids(old_b.select(doc_cols), F.col(id_col), aff_ids, spark, keep=False, ids_df=aff_df))
         if upserts is not None:
             parts.append(upserts.select(doc_cols))
         # delete-only batch whose touched buckets don't exist (claims
@@ -339,7 +352,7 @@ def apply_incremental(
         # legacy (un-bucketed) layout: full rewrite into a new dir
         def w_docs():
             docs = cindex.docs
-            new_docs = _filter_ids(docs, F.col(id_col), aff_ids, spark, keep=False)
+            new_docs = _filter_ids(docs, F.col(id_col), aff_ids, spark, keep=False, ids_df=aff_df)
             if upserts is not None:
                 new_docs = new_docs.unionByName(upserts.select(docs.columns))
             (
@@ -768,12 +781,19 @@ def process_blocked_list(
         id_col = cindex.manifest["doc_id_col"]
 
         resolved = None
-        if (
-            outpoints
-            and claim_id_col in docs.columns
-            and tx_col in docs.columns
-            and vout_col in docs.columns
-        ):
+        if outpoints:
+            # outpoints are explicit caller intent; a blocklist that
+            # silently skips them is fail-open on a compliance path —
+            # misconfiguration must be loud
+            missing = [
+                c for c in (claim_id_col, tx_col, vout_col) if c not in docs.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"process_blocked_list: outpoints given but docs_source "
+                    f"lacks column(s) {missing}"
+                )
+        if outpoints:
             rows = []
             for op in outpoints:
                 tx, _, vout = str(op).partition(":")

@@ -86,11 +86,12 @@ def dedup_stream(
     duplicate delivered LATER than the watermark is out of contract
     (the source's redelivery window must fit the watermark), exactly
     as Spark documents for at-least-once sinks."""
-    src = events.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+    tmp = "__dedup_wm_ts"  # never clobber a caller column named "_ts"
+    src = events.withColumn(tmp, F.col(ts_col).cast("timestamp"))
     if src.isStreaming:
-        src = src.withWatermark("_ts", watermark)
-        return src.dropDuplicatesWithinWatermark(list(id_cols)).drop("_ts")
-    return src.dropDuplicates(list(id_cols)).drop("_ts")
+        src = src.withWatermark(tmp, watermark)
+        return src.dropDuplicatesWithinWatermark(list(id_cols)).drop(tmp)
+    return src.dropDuplicates(list(id_cols)).drop(tmp)
 
 
 def sessionize(

@@ -91,3 +91,17 @@ def test_pii_scrub_phone_forms(spark):
         assert "<PHONE>" in got[i], got[i]
         assert "555" not in got[i] and "+" not in got[i], got[i]
     assert "12345678901" in got[6]  # untouched — not a phone shape
+
+
+def test_pii_scrub_bare_country_code(spark):
+    """'1-415-555-0199' (country code without '+') must scrub fully —
+    no '1-' residue (post-review regression guard)."""
+    df = spark.createDataFrame(
+        [(1, "call 1-415-555-0199 now"), (2, "or 1 415 555 0199 ok"),
+         (3, "date 2024-01-15 is not a phone")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["text"] for r in curate.pii_scrub(df, "text").collect()}
+    assert got[1] == "call <PHONE> now"
+    assert got[2] == "or <PHONE> ok"
+    assert "2024-01-15" in got[3]
