@@ -137,3 +137,25 @@ def test_positions_survive_store(cindex, flat_index):
     }
     for i, d in enumerate(ids):
         assert list(plists[i]) == flat[int(d)]
+
+
+def test_iceberg_adapter_probes_runtime(spark):
+    """No Iceberg jar ships in this container: the adapter must raise
+    the NAMED dependency error (never fake a read); with the runtime
+    present the same call paths serve the north_rule catalog tables."""
+    import pytest
+
+    from lighthouse_spark.sources import iceberg
+
+    has_jar = True
+    try:
+        spark._jvm.org.apache.iceberg.Table
+    except Exception:
+        has_jar = False
+    if not has_jar:
+        with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+            iceberg.read_table(spark, "cat.db.t")
+        with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+            iceberg.read_code_table(spark, "cat.db.repo_files")
+    else:  # pragma: no cover — only on clusters with the jar
+        assert iceberg.CODE_TABLE_COLUMNS == ("repo", "path", "commit", "lang", "content")
