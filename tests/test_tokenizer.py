@@ -74,3 +74,30 @@ def test_simple_mode_matches_sql_contract(spark):
             [t],
         ).fetchone()[0]
         assert list(sql) == tokenize_text(t, "simple"), t
+
+
+def test_arrow_fast_path_identical_to_re_reference():
+    """The Arrow tokenizer must be byte-identical to the re-based
+    reference on adversarial inputs (unicode, empties, nulls, camel
+    edge shapes) in both modes."""
+    import pandas as pd
+
+    from lighthouse_spark.functions.analysis import (
+        _tokenize_pandas_re,
+        tokenize_pandas,
+    )
+
+    cases = pd.Series([
+        "getUserName parseHTTPRequest2 now",
+        "HTTPServerAPI XMLHttpRequest aXYb",
+        "planètes 360 ès café",
+        "", "   ", None,
+        "snake_case-and.dots:colons/slashes",
+        "ALLCAPS MiXeD123Case x",
+        "ünïcödé ÀÉÎ déjà",
+        "tabs\tnewlines\nand  doubles",
+    ])
+    for mode in ("simple", "code"):
+        a = tokenize_pandas(cases, mode)
+        b = _tokenize_pandas_re(cases, mode)
+        assert list(a) == list(b), mode
