@@ -77,6 +77,31 @@ def match_terms(
     return per_term.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
 
+def topk_per_key(
+    df: DataFrame, key_cols: list[str], order_cols: list, k: int
+) -> DataFrame:
+    """row_number() <= k per key, SKEW-RESILIENT: rank first within
+    (key, input-partition) — the hot key's rows split across however
+    many partitions carry them, each contributing at most k — then the
+    global per-key window ranks <= k x n_partitions rows per key
+    instead of the key's entire candidate set. Two shuffles, but the
+    first has no hot-key funnel and the second is k-bounded. Output is
+    identical to the single-window plan (any global top-k row is in its
+    own partition's top-k under the same ordering); adds a `rank`
+    column. The ordering must be total (include a tiebreaker)."""
+    from pyspark.sql import Window
+
+    pre = df.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*key_cols, "_pid").orderBy(*order_cols)
+    pruned = (
+        pre.withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k)
+        .drop("_pid", "_prk")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return pruned.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
 def batch_match_topk(
     index: InvertedIndex,
     field: str,
@@ -91,10 +116,10 @@ def batch_match_topk(
     Plan: postings filtered to the UNION of all query terms, joined to
     a broadcast (query_id, term, qtf, df) spec (df prefetched in one
     dictionary lookup, idf computed driver-side into the spec), summed
-    per (query_id, doc_id), then row_number ≤ k per query. The window
-    partitions by query_id — each query's candidate set, never the
-    corpus; a pathological query matching everything is capped by its
-    own candidates, and k bounds the output.
+    per (query_id, doc_id), then skew-resilient top-k per query
+    (topk_per_key: a stopword query whose candidate set approaches the
+    corpus pre-ranks per input partition, so no single window task
+    carries the whole candidate list).
 
     Returns (query_id, doc_id, score, rank). Queries whose terms are
     all absent return no rows (same as the per-query path)."""
@@ -117,8 +142,6 @@ def batch_match_topk(
     spec = index.spark.createDataFrame(rows, "query_id string, term string, w double")
     live = sorted({t for _, t, _ in rows})
     p = _field_postings(index, field, live)
-    from pyspark.sql import Window
-
     scored = (
         p.join(F.broadcast(spec), "term")
         .select(
@@ -131,12 +154,9 @@ def batch_match_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("score").alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+    return topk_per_key(
+        scored, ["query_id"], [F.col("score").desc(), F.col("doc_id").asc()], k
+    ).select("query_id", "doc_id", "score", "rank")
 
 
 def prefetch_df(

@@ -105,23 +105,21 @@ def stratified_sample_exact(
     salt: str = "",
 ) -> DataFrame:
     """EXACTLY k rows per stratum, chosen by deterministic hash order
-    (row_number over the sha256 unit hash within each stratum).
+    (rank over the sha256 unit hash within each stratum).
 
-    Scale note: the per-stratum window shuffles once on the strata
-    key; a mega-stratum makes its partition large but the window is
-    rank-only (no buffering beyond the running count). For top-k with
-    k << stratum size a two-phase per-partition pre-rank could prune,
-    but rank-order must stay hash-global so the simple window is the
-    correct baseline."""
-    from pyspark.sql import Window
+    Skew-resilient: ranks via search.topk_per_key's two-phase window
+    (pre-rank per input partition, then a k-bounded global rank), so a
+    mega-stratum never funnels its whole row set through one window
+    task. Output is identical to the single-window plan."""
+    from lighthouse_spark.operators.search import topk_per_key
 
     u = _sha_unit(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    w = Window.partitionBy(*strata_cols).orderBy(u.asc(), F.col(id_col).asc())
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k_per_stratum)
-        .drop("_rk")
-    )
+    return topk_per_key(
+        df.withColumn("_u", u),
+        list(strata_cols),
+        [F.col("_u").asc(), F.col(id_col).asc()],
+        k_per_stratum,
+    ).drop("_u", "rank")
 
 
 # regex intersection of Java (Spark) and RE2 (DuckDB 'g' flag):

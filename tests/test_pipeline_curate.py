@@ -105,3 +105,28 @@ def test_pii_scrub_bare_country_code(spark):
     assert got[1] == "call <PHONE> now"
     assert got[2] == "or <PHONE> ok"
     assert "2024-01-15" in got[3]
+
+
+def test_topk_per_key_two_phase_equals_single_window(spark):
+    """The skew-resilient two-phase top-k must equal the plain window
+    for any partitioning of the input (incl. a mega-key)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lighthouse_spark.operators.search import topk_per_key
+
+    rows = [(i, "hot" if i < 5000 else f"k{i % 7}", float(i % 997)) for i in range(6000)]
+    df = spark.createDataFrame(rows, "id long, key string, v double").repartition(16)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        (r["key"], r["rank"]): r["id"]
+        for r in topk_per_key(df, ["key"], order, 4).collect()
+    }
+    w = Window.partitionBy("key").orderBy(*order)
+    want = {
+        (r["key"], r["rank"]): r["id"]
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .collect()
+    }
+    assert got == want and len(got) == 8 * 4  # 'hot' + k0..k6
