@@ -102,7 +102,10 @@ def _auto_fuzziness(term: str) -> int:
 
 _ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
 _PREFIX_CLASS_CAP = 512
-_prefix_cache: dict[tuple[str, int], tuple[str, ...] | None] = {}
+# cache holds the UNCAPPED class tuple per (term, d, alphabet); the
+# max_classes cap is applied at lookup so callers with different caps
+# never see each other's truncation (ADVICE r3).
+_prefix_cache: dict[tuple[str, int, str], tuple[str, ...]] = {}
 
 
 def lev_prefix_classes(
@@ -123,8 +126,9 @@ def lev_prefix_classes(
     the DP row over the alphabet (vectorized across frontier nodes),
     then trie-collapse complete subtrees to shorter literals. Returns
     None when the class set exceeds ``max_classes`` (pruning would
-    bloat the plan more than it saves). Cached per (term, d) — the
-    classes depend only on the query, never the corpus.
+    bloat the plan more than it saves). Cached per (term, d, alphabet)
+    uncapped, ``max_classes`` applied at lookup — the classes depend
+    only on the query, never the corpus.
 
     Effectiveness by AUTO tier: d=1 (terms of length 3-5, the dominant
     fuzz class) yields ~72 of 1296 2-grams — ~94% of a term-sorted
@@ -145,7 +149,8 @@ def lev_prefix_classes(
 
     key = (term, d, alphabet)
     if key in _prefix_cache:
-        return _prefix_cache[key]
+        cached = _prefix_cache[key]
+        return cached if len(cached) <= max_classes else None
     k = d + 1
     tl = len(term)
     rows = np.arange(tl + 1, dtype=np.int32)[None, :]
@@ -180,13 +185,11 @@ def lev_prefix_classes(
             if len(kids) == n_alpha:
                 allowed -= kids
                 allowed.add(par)
-    out: tuple[str, ...] | None = tuple(sorted(allowed))
-    if len(out) > max_classes:
-        out = None
+    out: tuple[str, ...] = tuple(sorted(allowed))
     if len(_prefix_cache) > 4096:
         _prefix_cache.clear()
     _prefix_cache[key] = out
-    return out
+    return out if len(out) <= max_classes else None
 
 
 def _fuzzy_prefix_pred(fuzzy: list[str], ds: dict[str, int]):

@@ -29,15 +29,28 @@ from pyspark.sql import DataFrame, SparkSession
 CODE_TABLE_COLUMNS = ("repo", "path", "commit", "lang", "content")
 
 
-def _check_iceberg(spark: SparkSession) -> None:
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime classes are loadable in the JVM.
+
+    py4j resolves a missing class to a ``JavaPackage`` placeholder
+    WITHOUT raising (attribute access on ``_jvm`` never probes the
+    classloader), so the only reliable jar probe is an explicit
+    ``Class.forName`` — a bare ``spark._jvm.org.apache.iceberg.Table``
+    reference succeeds even on a jar-less JVM."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018 — probe the class
-    except Exception as exc:  # TypeError/Py4JError when the jar is absent
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
+        return True
+    except Exception:
+        return False
+
+
+def _check_iceberg(spark: SparkSession) -> None:
+    if not iceberg_available(spark):
         raise NotImplementedError(
             "Iceberg runtime not on the classpath — submit with "
             "--packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12 "
             "and a configured catalog (spark.sql.catalog.<name>=...)"
-        ) from exc
+        )
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
