@@ -271,6 +271,83 @@ class CompressedIndex:
 
         return self._memo("term_stats", build)
 
+    def save_term_dict(self, pfx_len: int = 3) -> None:
+        """Persist the FUZZY dictionary: the live term_stats view
+        written ``partitionBy(field, pfx)`` with pfx = the term's
+        first ``pfx_len`` chars.
+
+        Why a second (tiny) copy of the dictionary: AUTO d=2 fuzzy
+        expansion's sound prune unit is the (d+1)=3-char prefix class
+        set (operators/expand.lev_prefix_classes), which is too large
+        (~3.7k classes) to push as a StringStartsWith OR into the
+        term-sorted layout. Against THIS layout the classes become a
+        literal IN-list on the ``pfx`` partition column — static
+        partition pruning at planning time, so a d=2 expansion scans
+        only the live ~8% of prefix partitions instead of the whole
+        length band. The manifest records exactly which term_stats
+        state was folded in; `term_dict()` serves base+later-deltas
+        live-exact and returns None (band fallback) once the base
+        dictionary itself is rewritten (compaction)."""
+        snap = uuid.uuid4().hex[:12]
+        d = f"term_dict_v_{snap}"
+        (
+            self.term_stats.withColumn(
+                "pfx", F.substring("term", 1, int(pfx_len))
+            )
+            .repartition("field", "pfx")
+            .write.partitionBy("field", "pfx")
+            .parquet(f"{self.path}/{d}")
+        )
+        man = self.manifest
+        man.setdefault("dirs", {})["term_dict"] = d
+        man["term_dict_pfx_len"] = int(pfx_len)
+        man["term_dict_for"] = {
+            "term_stats": man.get("dirs", {}).get("term_stats", "term_stats"),
+            "ts_deltas": list(man.get("ts_deltas", [])),
+        }
+        _commit(self.path, man)
+
+    def term_dict(self) -> tuple[DataFrame, int] | None:
+        """The LIVE (field, pfx)-partitioned fuzzy dictionary as
+        (frame[field, term, df, pfx], pfx_len), or None when never
+        saved or invalidated by a base-dictionary rewrite.
+
+        Deltas appended AFTER the save are folded in exactly like the
+        term_stats view (signed df sums, df>0); the delta legs are
+        per-snapshot churn, tiny next to the pruned base scan."""
+        man = self.manifest
+        d = man.get("dirs", {}).get("term_dict")
+        if not d:
+            return None
+        rec = man.get("term_dict_for", {})
+        if rec.get("term_stats") != man.get("dirs", {}).get("term_stats", "term_stats"):
+            return None  # base dictionary rewritten since the save
+        folded = list(rec.get("ts_deltas", []))
+        cur = list(man.get("ts_deltas", []))
+        if cur[: len(folded)] != folded:
+            return None
+        pfx_len = int(man.get("term_dict_pfx_len", 3))
+
+        def build():
+            base = self.spark.read.parquet(f"{self.path}/{d}")
+            extra = cur[len(folded):]
+            if not extra:
+                return base
+            u = base
+            for snap in extra:
+                u = u.unionByName(
+                    self.spark.read.parquet(f"{self.path}/term_stats_delta/{snap}")
+                    .withColumn("pfx", F.substring("term", 1, pfx_len))
+                )
+            return (
+                u.groupBy("field", "pfx", "term")
+                .agg(F.sum("df").alias("df"))
+                .filter(F.col("df") > 0)
+                .select("field", "term", "df", "pfx")
+            )
+
+        return self._memo("term_dict", build), pfx_len
+
     @property
     def doc_stats(self) -> DataFrame:
         def build():
