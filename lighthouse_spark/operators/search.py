@@ -205,12 +205,12 @@ def phrase(
     .py — offset-adjusted min-heap, fractional 1/(1+matchLength) slop
     weights, order-tolerant) via an Arrow-batched UDF over the
     candidate docs' position arrays — candidates only, never the
-    corpus. Phrases with repeated terms fall back to the greedy
-    ordered-window count (Lucene's repeat handling is a separate
-    disambiguation pass; documented divergence), as does the fused
-    autocomplete plan (slop 5; auto_complete.go:63), which keeps the
-    window expression for its single-scan 50-expansion plan shape —
-    pinned by tests/test_sloppy.py.
+    corpus. Phrases with REPEATED terms route through the repeat-group
+    disambiguation variant (slots of the same term bind distinct
+    document positions — sloppy.lucene_sloppy_freq_rpt). The fused
+    autocomplete plan (slop 5; auto_complete.go:63) keeps the greedy
+    ordered-window expression for its single-scan 50-expansion plan
+    shape — divergence pinned by tests/test_sloppy.py.
     """
     n, avgdl = index.corpus_stats().get(field, (0, 1.0))
     if not terms or n == 0:
@@ -256,21 +256,36 @@ def phrase(
             return cond
 
         freq = F.size(F.filter(anchor, adjacent)).cast("double")
-    elif slop_mode == "lucene" and len(set(terms)) == len(terms):
+    elif slop_mode == "lucene":
         # Lucene-exact sloppy freq (fractional) over the per-term
-        # position arrays — Arrow-batched, candidate docs only
-        from lighthouse_spark.operators.sloppy import lucene_sloppy_freq
+        # position arrays — Arrow-batched, candidate docs only.
+        # Repeated phrase terms route through the repeat-group
+        # disambiguation variant (distinct-position binding).
+        from lighthouse_spark.operators.sloppy import (
+            lucene_sloppy_freq,
+            lucene_sloppy_freq_rpt,
+        )
 
         _slop = int(slop)
+        if len(set(terms)) == len(terms):
 
-        @F.pandas_udf("double")
-        def _sloppy(pls: pd.Series) -> pd.Series:
-            return pls.map(lambda ls: lucene_sloppy_freq(list(ls), _slop))
+            @F.pandas_udf("double")
+            def _sloppy(pls: pd.Series) -> pd.Series:
+                return pls.map(lambda ls: lucene_sloppy_freq(list(ls), _slop))
+
+        else:
+            _groups = tuple(terms)
+
+            @F.pandas_udf("double")
+            def _sloppy(pls: pd.Series) -> pd.Series:
+                return pls.map(
+                    lambda ls: lucene_sloppy_freq_rpt(list(ls), _slop, _groups)
+                )
 
         freq = _sloppy(F.array(*[F.element_at("posmap", t) for t in terms]))
     else:
-        # repeated phrase terms: greedy ordered-window fallback
-        # (documented divergence; Lucene repeat handling not modeled)
+        # slop_mode="window": greedy ordered-window count (the fused
+        # autocomplete plan's expression; order-sensitive, integer)
         def chain(i, prev):
             if i == len(terms):
                 return F.lit(True)

@@ -20,7 +20,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from lighthouse_spark.operators import search
-from lighthouse_spark.operators.sloppy import greedy_window_freq, lucene_sloppy_freq
+from lighthouse_spark.operators.sloppy import (
+    greedy_window_freq,
+    lucene_sloppy_freq,
+    lucene_sloppy_freq_rpt,
+)
 from lighthouse_spark.plans.indexer import FieldSpec, build_index
 
 
@@ -118,9 +122,68 @@ def test_spark_sloppy_phrase_matches_lucene_reference(slop_corpus, slop, terms):
     assert want, f"vacuous slop test for {terms} slop={slop}"
 
 
-def test_repeated_terms_fall_back_to_window(slop_corpus):
-    """Phrases with repeated terms keep the greedy window count (the
-    Lucene repeat-disambiguation pass is not modeled) — pinned."""
+def test_repeated_term_disambiguation_hand_cases():
+    """The repeat-group pass (lucene_sloppy_freq_rpt), pinned against
+    hand-traced cases of the published semantics: slots of the same
+    term must bind DISTINCT document positions."""
+    a = lucene_sloppy_freq_rpt
+    # doc "a b", query "a a": only ONE 'a' occurrence → no match at
+    # any slop (the naive simple algorithm would bind both slots to
+    # the same position and report a spurious match)
+    p_single = [np.array([0]), np.array([0])]
+    assert a(p_single, 5, ["a", "a"]) == 0.0
+    # doc "a a", query "a a": slot1 starts on the 2nd occurrence,
+    # matchLength 0 → full weight 1
+    p_pair = [np.array([0, 1]), np.array([0, 1])]
+    assert a(p_pair, 0, ["a", "a"]) == pytest.approx(1.0)
+    # doc "a x a", query "a a": distinct bindings (0, 2) → adjusted
+    # span 1 → 1/2 at slop >= 1, miss at slop 0
+    p_gap = [np.array([0, 2]), np.array([0, 2])]
+    assert a(p_gap, 1, ["a", "a"]) == pytest.approx(0.5)
+    assert a(p_gap, 0, ["a", "a"]) == 0.0
+    # doc "new york new york", query "new york new york": one exact
+    # match consuming all four slots → 1.0
+    n_pos = np.array([0, 2])
+    y_pos = np.array([1, 3])
+    p4 = [n_pos, y_pos, n_pos, y_pos]
+    assert a(p4, 0, ["new", "york", "new", "york"]) == pytest.approx(1.0)
+    # repeats-present but term absent entirely → 0, no crash
+    assert a([np.array([0]), np.array([], dtype=np.int64)], 3, ["a", "b"]) == 0.0
+
+
+def test_rpt_reduces_to_simple_when_distinct():
+    """With no repeated group the rpt variant must equal the simple
+    algorithm exactly (same heap walk)."""
+    rng = random.Random(7)
+    for _ in range(200):
+        k = rng.randint(2, 4)
+        pls = [
+            np.array(sorted(rng.sample(range(20), rng.randint(1, 6))), dtype=np.int64)
+            for _ in range(k)
+        ]
+        slop = rng.randint(0, 6)
+        assert lucene_sloppy_freq_rpt(pls, slop, list(range(k))) == pytest.approx(
+            lucene_sloppy_freq(pls, slop)
+        )
+
+
+def test_rpt_monotone_in_slop():
+    rng = random.Random(11)
+    for _ in range(100):
+        p = np.array(sorted(rng.sample(range(15), rng.randint(2, 5))), dtype=np.int64)
+        q = np.array(sorted(rng.sample(range(15), rng.randint(2, 5))), dtype=np.int64)
+        pls = [p, q, p]
+        prev = 0.0
+        for slop in range(0, 8):
+            cur = lucene_sloppy_freq_rpt(pls, slop, ["a", "b", "a"])
+            assert cur >= prev - 1e-12
+            prev = cur
+
+
+def test_spark_repeated_term_phrase_matches_rpt_reference(slop_corpus):
+    """search.phrase with a repeated-term phrase now runs the
+    repeat-group disambiguation (VERDICT r3 next #3) — doc-for-doc
+    against the pure-Python reference."""
     rows, idx = slop_corpus
     got = {
         r["doc_id"]: r["score"]
@@ -133,7 +196,7 @@ def test_repeated_terms_fall_back_to_window(slop_corpus):
     for i, text in rows:
         toks = text.split()
         p = _positions(toks, "alpha")
-        freq = greedy_window_freq([p, p], 2)
+        freq = lucene_sloppy_freq_rpt([p, p], 2, ["alpha", "alpha"])
         if freq > 0:
             dl = len(toks)
             tfn = freq * 2.2 / (freq + 1.2 * (0.25 + 0.75 * dl / avgdl))
@@ -141,6 +204,10 @@ def test_repeated_terms_fall_back_to_window(slop_corpus):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], rel=1e-9)
+    assert want, "vacuous repeated-term slop test"
+    # the disambiguation is visible: docs with a single 'alpha' are out
+    single = {i for i, text in rows if text.split().count("alpha") == 1}
+    assert single and not (single & set(got))
 
 
 # ---- 3. property-based: prefix classes are sound for ALL words -------------
