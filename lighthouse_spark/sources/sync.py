@@ -335,14 +335,21 @@ def apply_incremental(
                 F.count(F.when(F.col("_bucket") == b, F.lit(1))).alias(f"b_{b}")
                 for b in touched
             ]
-            (
+            staged = (
                 _union(parts)
                 .withColumn(
                     "_bucket", F.pmod(F.col(id_col).cast("long"), F.lit(nb)).cast("int")
                 )
                 .observe(obs_b, *b_aggs)
                 .repartition(max(len(touched), 1), F.col("_bucket"))
-                .write.mode("overwrite")
+            )
+            sort_col = man.get("docs_sort_col")
+            if sort_col and sort_col in doc_cols:
+                # preserve the secondary-lookup sort the full build
+                # declared (row-group stat pruning for point lookups)
+                staged = staged.sortWithinPartitions("_bucket", sort_col)
+            (
+                staged.write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(f"{cindex.path}/{new_docs_dir}")
             )

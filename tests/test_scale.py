@@ -1,0 +1,97 @@
+"""Scale-stress tier (VERDICT r3 next #4): the sf0.01 value oracle
+cannot see DRIVER-SIDE size regressions (a collect that grows with the
+vocabulary instead of the query). This suite runs the paths whose
+failure mode is driver-side — autocomplete expansion, fuzzy expansion,
+the composite engine — over a 100k-doc corpus whose NAME vocabulary is
+~100k unique terms (each doc contributes a unique `u…` token), and
+asserts the plan-level bounds hold where the data is big.
+
+Marked ``scale``: deselect with ``-m 'not scale'`` when iterating.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lighthouse_spark.api.autocomplete import autocomplete
+from lighthouse_spark.api.engine import SearchEngine
+from lighthouse_spark.api.request import AutoCompleteRequest, SearchRequest
+from lighthouse_spark.operators import expand
+from lighthouse_spark.plans.indexer import FieldSpec, build_index
+from lighthouse_spark.sources.claims import synthetic_claims
+
+NOW = 1767225600.0
+N_DOCS = 100_000
+
+pytestmark = pytest.mark.scale
+
+
+@pytest.fixture(scope="module")
+def big(spark):
+    # each doc appends a unique token u<id36> to its name → the name
+    # dictionary holds ~100k terms and the 1-char prefix "u" covers
+    # nearly all of them: the exact shape that melted the r3
+    # driver-side expansion collect
+    claims = synthetic_claims(spark, N_DOCS).withColumn(
+        "name", F.concat("name", F.lit(" u"), F.conv(F.abs(F.col("doc_id")) % 10**12, 10, 36))
+    ).cache()
+    idx = build_index(
+        claims,
+        "doc_id",
+        {
+            "name": FieldSpec("name", positions=True),
+            "title": FieldSpec("title", positions=True),
+            "description": FieldSpec("description", positions=True),
+            "channel": FieldSpec("channel", positions=True),
+        },
+        mode="simple",
+    ).cache()
+    idx.term_stats.count()  # materialize once for the module
+    return claims, idx
+
+
+def test_vocab_is_actually_large(big):
+    _, idx = big
+    nv = idx.term_stats.filter(F.col("field") == "name").count()
+    assert nv > 90_000, nv
+
+
+def test_first_keystroke_expansion_bounded(big):
+    """1-char prefix over the ~100k-term dictionary: the multi-field
+    expansion plan must move <= fields*(limit+heads) rows, never the
+    prefix range (~100k rows here)."""
+    _, idx = big
+    fields = ["name", "title", "description", "channel"]
+    plan = expand.prefix_expansion_plan(idx, fields, "u", [], limit=50)
+    assert plan.count() <= len(fields) * 50
+    out = expand.expand_prefix_with_df_fields(idx, fields, "u", [], limit=50)
+    assert len(out["name"][0]) == 50  # capped, term-dict order
+    assert out["name"][0] == sorted(out["name"][0])
+
+
+def test_autocomplete_first_keystroke_end_to_end(big):
+    _, idx = big
+    res = autocomplete(idx, AutoCompleteRequest(s="u", size=10)).collect()
+    assert 0 < len(res) <= 10
+
+
+def test_fuzzy_expansion_capped_on_big_vocab(big):
+    """AUTO d=2 expansion over the 100k-term dictionary: every
+    expansion list obeys max_expansions and the per-field df map stays
+    query-sized (exact terms + neighborhood), not vocabulary-sized."""
+    _, idx = big
+    dfm, fz = expand.fuzzy_and_df(idx, ["name"], ["u0000000x", "crypto"])
+    for t, exps in fz["name"].items():
+        assert len(exps) <= expand.MAX_EXPANSIONS, t
+    # df map holds the query terms and the (levenshtein<=d) hits only
+    assert len(dfm["name"]) <= 2 * (expand.MAX_EXPANSIONS + 1) + 2
+
+
+def test_composite_search_scale_smoke(big):
+    claims, idx = big
+    eng = SearchEngine(idx, now_seconds=NOW)
+    rows = eng.search(SearchRequest(s="interesting and amazing facts", size=25)).collect()
+    assert len(rows) == 25
+    rows2 = eng.search(SearchRequest(s="crypto news", size=10, nsfw=False)).collect()
+    assert 0 < len(rows2) <= 10

@@ -159,3 +159,79 @@ def test_iceberg_adapter_probes_runtime(spark):
             iceberg.read_code_table(spark, "cat.db.repo_files")
     else:  # pragma: no cover — only on clusters with the jar
         assert iceberg.CODE_TABLE_COLUMNS == ("repo", "path", "commit", "lang", "content")
+
+
+def test_docs_sort_col_layout_and_lookup(spark, tmp_path):
+    """VERDICT r3 wrong #3: the MLT/related_to doc lookup is a point
+    filter on claim_id — prunable at scale only with a claim_id-sorted
+    docs layout. docs_sort_col must (a) be recorded in the manifest,
+    (b) physically sort every bucket file, (c) survive incremental
+    bucket rewrites, while the lookup's EqualTo pushes to the scan."""
+    import glob
+    import re as _re
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from lighthouse_spark.sources import sync
+    from lighthouse_spark.sources.claims import synthetic_claims
+    from lighthouse_spark.sources.store import build_and_save
+
+    claims = synthetic_claims(spark, 1500)
+    ci = build_and_save(
+        claims, "doc_id", {"name": "name"}, str(tmp_path / "sorted_idx"),
+        mode="simple", n_shards=2, docs_sort_col="claim_id",
+    )
+    assert ci.manifest["docs_sort_col"] == "claim_id"
+
+    def _assert_bucket_files_sorted():
+        files = []
+        for d in ci.manifest["docs_buckets"].values():
+            files += glob.glob(f"{ci.path}/{d}/*.parquet")
+        assert files
+        for f in files:
+            col = pq.read_table(f, columns=["claim_id"]).column("claim_id").to_pylist()
+            assert col == sorted(col), f
+
+    _assert_bucket_files_sorted()
+
+    # the point lookup pushes EqualTo(claim_id) into the scan
+    some_id = claims.select("claim_id").first()["claim_id"]
+    frame = ci.docs.filter(F.col("claim_id") == some_id)
+    p = frame._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PushedFilters: \[([^\]]*)", p)
+    assert m and "EqualTo(claim_id" in m.group(1), p[:800]
+
+    # incremental rewrite of touched buckets preserves the sort
+    upd = ci.docs.orderBy("doc_id").limit(40).withColumn(
+        "title", F.concat(F.lit("updated "), F.col("title"))
+    )
+    ci = sync.apply_incremental(ci, upserts=upd)
+    _assert_bucket_files_sorted()
+
+
+def test_iceberg_roundtrip_when_jar_present(spark, tmp_path):
+    """Probe-gated real-Iceberg smoke (VERDICT r3 next #6): on a
+    cluster that ships iceberg-spark-runtime this round-trips a table
+    through the adapter (create → append → read, column projection);
+    in jar-less containers it SKIPS (the honest-probe test above pins
+    the named error instead)."""
+    import pytest
+
+    from lighthouse_spark.sources import iceberg
+
+    if not iceberg.iceberg_available(spark):
+        pytest.skip("Iceberg runtime not on the classpath in this container")
+    # lazy catalog registration: a hadoop catalog over a temp warehouse
+    spark.conf.set("spark.sql.catalog.lht", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.lht.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.lht.warehouse", str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [("r1", "a.py", "c1", "py", "x = 1"), ("r2", "b.py", "c2", "py", "y = 2")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    iceberg.write_table(df, "lht.db.repo_files", mode="create")
+    iceberg.write_table(df.limit(1), "lht.db.repo_files", mode="append")
+    back = iceberg.read_code_table(spark, "lht.db.repo_files")
+    assert back.columns == list(iceberg.CODE_TABLE_COLUMNS)
+    assert back.count() == 3
