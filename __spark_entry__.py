@@ -268,6 +268,28 @@ _MLT_LIKE_TEXT = (
 )
 
 
+def q_fuzzy_expand_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 at the AUTO d=2 tier, through the REAL expansion operator
+    (length band; partition-pruned dictionary leg when an index ships
+    one — see store.save_term_dict): closest <=50 dictionary terms
+    within edit distance 2 of 'sart', ordered (ed, term)."""
+    from lighthouse_spark.operators import expand
+
+    _, idx = _doc_index(spark, sf_dir)
+    exps = expand.expand_fuzzy_all(idx, "text", ["sart"], max_edits=2)["sart"]
+    # the operator's Lucene-style absent-term fallback returns the
+    # query term itself even when out-of-dictionary; the oracle ranks
+    # dictionary terms only, so mirror that here
+    dfm = idx.term_stats.filter(
+        (F.col("field") == "text") & F.col("term").isin(exps)
+    ).select("term").collect()
+    present = {r["term"] for r in dfm}
+    ranked = [t for t in exps if t in present]
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ranked)] or [], "rank int, term string"
+    )
+
+
 def q_mlt_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: more-like-this term selection — top tf·idf like-terms under
     ES's default min_term_freq=2 / min_doc_freq=5 gates (query.go:106-121
@@ -749,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "prefix_expand": q_prefix_expand,
         "fuzzy_expand": q_fuzzy_expand,
+        "fuzzy_expand_d2": q_fuzzy_expand_d2,
         "mlt_terms": q_mlt_terms,
         "bool_should": q_bool_should,
         "autocomplete_prefix": q_autocomplete_prefix,
@@ -1210,6 +1233,13 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
             WHERE levenshtein(term, 'spark') <= 1 GROUP BY term ORDER BY term""",
+        "fuzzy_expand_d2": f"""
+            WITH tok AS (SELECT unnest({_TOK}) AS term FROM documents),
+            dict AS (SELECT DISTINCT term FROM tok),
+            m AS (SELECT term, levenshtein(term, 'sart') AS ed FROM dict
+                  WHERE levenshtein(term, 'sart') <= 2)
+            SELECT (row_number() OVER (ORDER BY ed, term) - 1)::INT AS rank, term
+            FROM m ORDER BY rank LIMIT 50""",
         "mlt_terms": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
             dl AS (SELECT doc_id FROM tok GROUP BY 1),
