@@ -290,6 +290,41 @@ def q_fuzzy_expand_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6's scale path: substring search through the character-trigram
+    index (operators/trigram.py; Cox 2012 / Zoekt design) — the
+    reference ships its wildcard contains clauses disabled because ES
+    serves them with a full stored-field scan (query.go:39-41). The
+    needle spans a word boundary, which no term index can serve; the
+    rarest-k gram intersection prunes candidates, contains() verifies
+    exactly."""
+    from lighthouse_spark.operators import trigram
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = trigram.build_trigram_index(docs, "doc_id", "text")
+    return (
+        trigram.substring_search(docs, "doc_id", "text", "fast merge", tri)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex search over the trigram index: required literal runs are
+    extracted from the pattern (conservative sre walk), their rarest
+    grams prune candidates, rlike() verifies exactly — Google Code
+    Search's plan, Spark-first."""
+    from lighthouse_spark.operators import trigram
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = trigram.build_trigram_index(docs, "doc_id", "text")
+    return (
+        trigram.regex_search(docs, "doc_id", "text", "customer [a-z]+ query", tri)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_mlt_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: more-like-this term selection — top tf·idf like-terms under
     ES's default min_term_freq=2 / min_doc_freq=5 gates (query.go:106-121
@@ -772,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_expand": q_prefix_expand,
         "fuzzy_expand": q_fuzzy_expand,
         "fuzzy_expand_d2": q_fuzzy_expand_d2,
+        "substring_search": q_substring_search,
+        "regex_search": q_regex_search,
         "mlt_terms": q_mlt_terms,
         "bool_should": q_bool_should,
         "autocomplete_prefix": q_autocomplete_prefix,
@@ -1240,6 +1277,13 @@ def oracle_sql() -> dict[str, str]:
                   WHERE levenshtein(term, 'sart') <= 2)
             SELECT (row_number() OVER (ORDER BY ed, term) - 1)::INT AS rank, term
             FROM m ORDER BY rank LIMIT 50""",
+        "substring_search": """
+            SELECT doc_id FROM documents
+            WHERE contains(lower(text), 'fast merge') ORDER BY doc_id""",
+        "regex_search": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text), 'customer [a-z]+ query')
+            ORDER BY doc_id""",
         "mlt_terms": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
             dl AS (SELECT doc_id FROM tok GROUP BY 1),

@@ -50,6 +50,7 @@ from lighthouse_spark.api.request import (
 )
 from lighthouse_spark.functions.analysis import tokenize_text
 from lighthouse_spark.operators import expand, fused, scoring, search
+from lighthouse_spark.operators import trigram as trigram_ops
 from lighthouse_spark.plans.indexer import InvertedIndex
 
 
@@ -97,6 +98,12 @@ class SearchEngine:
     # wildcard rewrite scores constant boost). OFF by default = the
     # reference's active surface.
     enable_contains: bool = False
+    # Scale path for enable_contains: {logical field: (postings, stats)}
+    # character-trigram handles (operators/trigram.py, typically
+    # store.trigram_index(col)). With one present, a contains clause
+    # becomes rarest-k gram candidate pruning + exact verify instead of
+    # a full stored-field scan; results are identical either way.
+    trigram: dict = dc_field(default_factory=dict)
 
     # ---- helpers ----------------------------------------------------------
 
@@ -243,8 +250,15 @@ class SearchEngine:
         for logical, boost in (("name", 1.0), ("title", 2.0), ("description", 1.0)):
             if not self._has(logical):
                 continue
+            matched = trigram_ops.substring_search(
+                self.docs,
+                self._id,
+                getattr(self.fields, logical),
+                sl,
+                index=self.trigram.get(logical),
+            )
             parts.append(
-                self.docs.filter(F.lower(self._col(logical)).contains(sl)).select(
+                matched.select(
                     F.col(self._id).alias("doc_id"),
                     F.lit(f"{logical}-contains").alias("clause"),
                     F.lit(boost).alias("score"),

@@ -1,0 +1,290 @@
+"""Character-trigram index: the scale path for substring and regex
+search over a 100 TB corpus.
+
+The reference ships its wildcard ``*s*`` contains-clauses disabled
+(query.go:39-41, :221-228) because a leading-wildcard query in ES is a
+full stored-field scan — there is no index that serves it. The classic
+fix is a character-trigram posting list: Google Code Search (R. Cox,
+"Regular Expression Matching with a Trigram Index", 2012) and Zoekt
+both index every 3-gram of the text and turn a substring/regex query
+into a boolean query over trigrams that yields a small candidate set,
+then exact-verify only the candidates. This module is that design,
+Spark-first:
+
+  build   docs → explode lowercase char 3-grams (one JVM higher-order
+          expression, no Python in the loop) → distinct ``(gram, id)``
+          postings + a tiny per-gram df stats frame.
+  query   a substring of length ≥ 3 must contain ALL of its trigrams,
+          and any SUBSET of those grams still gives a sound candidate
+          superset — so we intersect only the k RAREST grams (by df)
+          and ``contains()``-verify the candidates. Hot grams ("the ",
+          "ing") are exactly the ones rarest-k skips, so the scan cost
+          is bounded by the tail of the gram-df distribution, not its
+          head.
+  regex   extract literal runs the pattern REQUIRES (conservative walk
+          of the parsed tree — alternations and optional groups
+          contribute nothing), prefilter on their grams, verify with
+          ``rlike()``. A pattern with no required ≥3-char literal
+          honestly full-scan-verifies — the same cost ES pays for
+          every such query.
+
+Scale shape: postings are ``(gram, id)`` rows moved only by
+groupBy/join — never collected. The only driver-side lookup is the
+query's own gram dfs (≤ len(query)−2 rows). Persisted postings are
+partitioned by the gram's first byte (≤ ~40 partitions on text), so
+the rarest-k IN-list statically prunes partitions at planning time;
+within a partition the gram-sorted layout prunes row groups.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+try:  # Python 3.11+: sre_parse moved under re._parser
+    from re import _parser as _sre
+except ImportError:  # pragma: no cover
+    import sre_parse as _sre  # type: ignore[no-redef]
+
+__all__ = [
+    "build_trigram_index",
+    "query_grams",
+    "required_literals",
+    "substring_candidates",
+    "substring_search",
+    "regex_search",
+    "save_trigram_index",
+    "load_trigram_index",
+]
+
+
+def _lowered(df: DataFrame, text_col: str, lowercase: bool):
+    return F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+
+
+def build_trigram_index(
+    docs: DataFrame, id_col: str, text_col: str, lowercase: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """``(postings, stats)``: distinct ``(gram, <id_col>)`` rows and the
+    per-gram document frequency. All gram extraction is one JVM
+    ``transform(sequence(...))`` expression — whole-stage codegen, no
+    Python."""
+    t = _lowered(docs, text_col, lowercase)
+    staged = docs.select(F.col(id_col), t.alias("_t"))
+    postings = (
+        staged.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(_t) - 2, 0)),"
+                    " i -> substring(_t, i, 3))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .select("gram", id_col)
+    )
+    stats = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return postings, stats
+
+
+def query_grams(s: str, lowercase: bool = True) -> list[str]:
+    """The distinct trigrams a text must contain to contain ``s``."""
+    if lowercase:
+        s = s.lower()
+    return sorted({s[i : i + 3] for i in range(len(s) - 2)}) if len(s) >= 3 else []
+
+
+def _rarest_grams(
+    stats: DataFrame, grams: list[str], k: int
+) -> list[str] | None:
+    """The k lowest-df query grams, or None when some gram has df 0 —
+    in that case NO document can contain the query and the caller may
+    return empty without touching postings. The collect here is bounded
+    by the query's own gram count, never corpus size."""
+    rows = stats.filter(F.col("gram").isin(grams)).collect()
+    dfs = {r["gram"]: r["df"] for r in rows}
+    if len(dfs) < len(grams):
+        return None
+    return sorted(grams, key=lambda g: (dfs[g], g))[: max(1, k)]
+
+
+def _gram_pred(postings: DataFrame, chosen: list[str]):
+    """gram IN-list, plus the matching first-byte IN-list on the
+    ``pfx`` partition column when the postings are a persisted layout —
+    Spark does not infer pfx = substring(gram,1,1), so the partition
+    predicate must be spelled out to get static pruning."""
+    pred = F.col("gram").isin(chosen)
+    if "pfx" in postings.columns:
+        pred = F.col("pfx").isin(sorted({g[:1] for g in chosen})) & pred
+    return pred
+
+
+def substring_candidates(
+    postings: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    needle: str,
+    k_rarest: int = 3,
+    lowercase: bool = True,
+) -> DataFrame | None:
+    """Sound candidate superset for ``contains(needle)`` via the
+    rarest-k gram intersection; None = provably empty. The groupBy is a
+    partial-aggregating shuffle on doc id over only the chosen grams'
+    postings."""
+    grams = query_grams(needle, lowercase)
+    if not grams:
+        raise ValueError("substring_candidates needs len(needle) >= 3")
+    chosen = _rarest_grams(stats, grams, k_rarest)
+    if chosen is None:
+        return None
+    return (
+        postings.filter(_gram_pred(postings, chosen))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_g"))
+        .filter(F.col("_g") == len(chosen))
+        .select(id_col)
+    )
+
+
+def substring_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    needle: str,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    k_rarest: int = 3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """All doc rows whose text contains ``needle`` (case-folded by
+    default). With an index: candidate-pruned scan + exact verify —
+    identical results to the full scan, which is the documented
+    fallback for short needles / no index."""
+    verify = _lowered(docs, text_col, lowercase).contains(
+        needle.lower() if lowercase else needle
+    )
+    if index is None or len(needle) < 3:
+        return docs.filter(verify)
+    cands = substring_candidates(
+        index[0], index[1], id_col, needle, k_rarest, lowercase
+    )
+    if cands is None:
+        return docs.filter(F.lit(False))
+    return docs.join(cands, on=id_col, how="left_semi").filter(verify)
+
+
+def required_literals(pattern: str, min_len: int = 3) -> list[str]:
+    """Literal runs every match of ``pattern`` must contain.
+
+    Conservative walk of the stdlib-parsed tree: only LITERALs in
+    required positions count — top-level concatenation, groups, and
+    repeats with min ≥ 1. Alternation branches, optional/starred
+    parts, classes, and anchors flush the current run (they may
+    contribute chars, but not *required* ones). Sound by construction:
+    dropping a literal can only weaken the prefilter, never lose a
+    match; the rlike verify keeps exactness."""
+    try:
+        tree = _sre.parse(pattern)
+    except re.error:
+        return []
+    runs: list[str] = []
+
+    def walk(seq) -> None:
+        run: list[str] = []
+
+        def flush() -> None:
+            nonlocal run
+            if len(run) >= min_len:
+                runs.append("".join(run))
+            run = []
+
+        for op, av in seq:
+            name = str(op)
+            if name == "LITERAL":
+                run.append(chr(av))
+            elif name == "SUBPATTERN":
+                flush()
+                walk(av[3])
+            elif name in ("MAX_REPEAT", "MIN_REPEAT"):
+                flush()
+                lo, _hi, sub = av
+                if lo >= 1:
+                    walk(sub)
+            else:
+                flush()
+        flush()
+
+    walk(tree)
+    return runs
+
+
+def regex_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    k_rarest: int = 3,
+    lowercase: bool = True,
+) -> DataFrame:
+    """All doc rows whose text matches ``pattern`` (unanchored
+    ``rlike`` semantics, against the case-folded text by default).
+
+    Every required literal's grams must all be present, so the
+    prefilter intersects the rarest k grams drawn across ALL required
+    literals. No usable literal → honest full verify scan."""
+    verify = _lowered(docs, text_col, lowercase).rlike(pattern)
+    lits = [l for l in required_literals(pattern) if len(l) >= 3]
+    if index is None or not lits:
+        return docs.filter(verify)
+    grams = sorted({g for l in lits for g in query_grams(l, lowercase)})
+    chosen = _rarest_grams(index[1], grams, k_rarest)
+    if chosen is None:
+        return docs.filter(F.lit(False))
+    cands = (
+        index[0]
+        .filter(_gram_pred(index[0], chosen))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_g"))
+        .filter(F.col("_g") == len(chosen))
+        .select(id_col)
+    )
+    return docs.join(cands, on=id_col, how="left_semi").filter(verify)
+
+
+def save_trigram_index(
+    postings: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
+    """Persist ``{path}/postings`` partitioned by the gram's first byte
+    and sorted by gram within each partition — the rarest-k IN-list
+    prunes partitions statically AND row groups via min/max stats —
+    plus ``{path}/stats``, the ≤ |alphabet|³-row gram-df table the
+    query planner's rarest-k lookup reads instead of re-aggregating
+    the postings."""
+    (
+        postings.withColumn("pfx", F.substring("gram", 1, 1))
+        .repartition("pfx")
+        .sortWithinPartitions("gram", id_col)
+        .write.mode("overwrite")
+        .partitionBy("pfx")
+        .parquet(f"{path}/postings")
+    )
+    (
+        postings.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+
+
+def load_trigram_index(spark, path: str, id_col: str = "doc_id"):
+    """(postings, stats) handles over a persisted layout; both lazy.
+    The ``pfx`` partition column stays on the postings frame so query
+    predicates can statically prune partitions (see _gram_pred)."""
+    postings = spark.read.parquet(f"{path}/postings").select(
+        "gram", id_col, "pfx"
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    return postings, stats

@@ -348,6 +348,56 @@ class CompressedIndex:
 
         return self._memo("term_dict", build), pfx_len
 
+    def _docs_state(self) -> dict:
+        """Identity of the served docs table: base dir + the per-bucket
+        dir map (bucket rewrites flip entries). JSON-normalized keys so
+        a manifest round trip compares equal."""
+        man = self.manifest
+        return {
+            "docs": man.get("dirs", {}).get("docs", "docs"),
+            "docs_buckets": {
+                str(k): v for k, v in (man.get("docs_buckets") or {}).items()
+            },
+        }
+
+    def save_trigram(self, text_col: str) -> None:
+        """Persist the character-trigram index over ``text_col`` of the
+        docs table (operators/trigram.py): substring/regex queries get
+        rarest-k gram candidate pruning instead of a full stored-field
+        scan — the scale path for the reference's disabled wildcard
+        clauses (query.go:39-41). Recorded against the exact docs state
+        it was built from; any bucket rewrite invalidates it honestly
+        (a stale index would silently miss fresh docs)."""
+        from ..operators import trigram as _tri
+
+        snap = uuid.uuid4().hex[:12]
+        d = f"trigram_{text_col}_v_{snap}"
+        id_col = self.manifest["doc_id_col"]
+        postings, _ = _tri.build_trigram_index(self.docs, id_col, text_col)
+        _tri.save_trigram_index(postings, f"{self.path}/{d}", id_col)
+        man = self.manifest
+        man.setdefault("dirs", {})[f"trigram_{text_col}"] = d
+        man.setdefault("trigram_for", {})[text_col] = self._docs_state()
+        _commit(self.path, man)
+
+    def trigram_index(self, text_col: str):
+        """Live ``(postings, stats)`` for ``text_col``, or None when
+        never saved or invalidated by a docs rewrite (callers fall back
+        to the verify-only scan — same results, unpruned)."""
+        man = self.manifest
+        d = man.get("dirs", {}).get(f"trigram_{text_col}")
+        if not d:
+            return None
+        if man.get("trigram_for", {}).get(text_col) != self._docs_state():
+            return None
+        from ..operators import trigram as _tri
+
+        id_col = man["doc_id_col"]
+        return self._memo(
+            f"trigram_{text_col}",
+            lambda: _tri.load_trigram_index(self.spark, f"{self.path}/{d}", id_col),
+        )
+
     @property
     def doc_stats(self) -> DataFrame:
         def build():

@@ -1,0 +1,198 @@
+"""Trigram index (operators/trigram.py): the scale path for
+substring/regex search — the reference's disabled wildcard clauses
+(query.go:39-41) served by a Cox/Zoekt-style gram posting list.
+
+Covers: result parity with the full verify scan (the ground truth, by
+construction), sound required-literal extraction, persisted-layout
+partition pruning IN THE PLAN, store lifecycle honesty (docs rewrite
+invalidates), and the engine's accelerated contains clauses.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from lighthouse_spark.operators import trigram
+from lighthouse_spark.sources import sync
+from lighthouse_spark.sources.corpus import synthetic_corpus
+from lighthouse_spark.sources.store import build_and_save
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tri(docs):
+    post, stats = trigram.build_trigram_index(docs, "doc_id", "content")
+    return post.cache(), stats.cache()
+
+
+@pytest.fixture(scope="module")
+def needles(docs):
+    """Substrings sliced out of a real doc so they are guaranteed
+    present, including cross-token spans no term index could serve."""
+    body = docs.orderBy("doc_id").limit(1).collect()[0]["content"]
+    return [body[5:14], body[20:33], body[2:6]]
+
+
+def test_substring_parity(docs, tri, needles):
+    for needle in needles + ["zz_not_in_corpus"]:
+        got = _ids(
+            trigram.substring_search(docs, "doc_id", "content", needle, tri)
+        )
+        want = _ids(
+            docs.filter(F.lower(F.col("content")).contains(needle.lower()))
+        )
+        assert got == want, needle
+    assert len(_ids(trigram.substring_search(docs, "doc_id", "content", needles[0], tri))) > 0
+
+
+def test_substring_short_needle_falls_back(docs, tri, needles):
+    needle = needles[0][:2]
+    got = _ids(trigram.substring_search(docs, "doc_id", "content", needle, tri))
+    want = _ids(docs.filter(F.lower(F.col("content")).contains(needle.lower())))
+    assert got == want
+
+
+def test_absent_gram_is_provably_empty(docs, tri):
+    """A query gram with df 0 short-circuits without a postings job."""
+    assert (
+        trigram.substring_candidates(tri[0], tri[1], "doc_id", "qßq") is None
+    )
+    assert _ids(
+        trigram.substring_search(docs, "doc_id", "content", "qßq", tri)
+    ) == []
+
+
+def test_regex_parity(docs, tri, needles):
+    mid = re.escape(needles[0].lower())
+    pats = [
+        f"{mid}",                       # pure literal
+        f"{mid}[a-z ]*",                # literal + class tail
+        f"({mid}|zz_not_in_corpus_zz)", # alternation: no required literal
+        "zz_not(a|b)corpus",            # required literals, absent
+    ]
+    for pat in pats:
+        got = _ids(trigram.regex_search(docs, "doc_id", "content", pat, tri))
+        want = _ids(docs.filter(F.lower(F.col("content")).rlike(pat)))
+        assert got == want, pat
+    assert len(_ids(trigram.regex_search(docs, "doc_id", "content", pats[0], tri))) > 0
+
+
+def test_required_literals():
+    rl = trigram.required_literals
+    assert rl("abc[0-9]+def") == ["abc", "def"]
+    assert rl("foo(bar|baz)") == ["foo"]
+    assert rl("(hello)+world") == ["hello", "world"]
+    assert rl("x{0,3}abcd") == ["abcd"]
+    assert rl("(?:opt)?required") == ["required"]
+    assert rl("ab") == []                 # below min length
+    assert rl("a.b.c") == []              # runs broken by ANY
+    assert rl("(") == []                  # invalid pattern: no prefilter
+    assert rl("^anchored suffix$") == ["anchored suffix"]
+    assert rl("e{2}xyz") == ["xyz"]       # repeat literal walked once only
+
+
+def test_persisted_layout_prunes_partitions(spark, docs, tri, needles, tmp_path):
+    trigram.save_trigram_index(tri[0], str(tmp_path / "tg"))
+    post, stats = trigram.load_trigram_index(spark, str(tmp_path / "tg"))
+    assert "pfx" in post.columns
+
+    # value parity through the persisted layout
+    got = _ids(
+        trigram.substring_search(docs, "doc_id", "content", needles[0], (post, stats))
+    )
+    want = _ids(docs.filter(F.lower(F.col("content")).contains(needles[0].lower())))
+    assert got == want
+
+    # the partition filter is IN THE PLAN (static pruning), and prunes
+    # to a strict subset of partitions
+    cands = trigram.substring_candidates(post, stats, "doc_id", needles[0])
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000000")
+    try:
+        cands = trigram.substring_candidates(post, stats, "doc_id", needles[0])
+        p = _plan(cands)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    m = re.search(r"PartitionFilters: \[([^\]]*)", p)
+    assert m and "pfx" in m.group(1), f"no pfx partition filter:\n{p[:1200]}"
+    chosen_pfx = {g[:1] for g in trigram.query_grams(needles[0])}
+    n_all = post.select("pfx").distinct().count()
+    assert 0 < len(chosen_pfx) < n_all
+
+
+def test_store_lifecycle_invalidates_on_docs_rewrite(spark, tmp_path):
+    docs = synthetic_corpus(spark, 120)
+    path = str(tmp_path / "idx")
+    ci = build_and_save(docs, "doc_id", {"content": "content"}, path,
+                        mode="code", n_shards=4)
+    assert ci.trigram_index("content") is None
+
+    ci.save_trigram("content")
+    idx = ci.trigram_index("content")
+    assert idx is not None
+    body = docs.orderBy("doc_id").limit(1).collect()[0]["content"]
+    needle = body[4:12]
+    got = _ids(trigram.substring_search(ci.docs, "doc_id", "content", needle, idx))
+    want = _ids(ci.docs.filter(F.lower(F.col("content")).contains(needle.lower())))
+    assert got == want and got
+
+    # rewrite one docs bucket -> the index must stop serving (a stale
+    # gram index would silently miss the new doc's substrings)
+    upd = ci.docs.orderBy("doc_id").limit(1).withColumn(
+        "content", F.concat(F.lit("freshly_injected_needle "), F.col("content"))
+    )
+    ci = sync.apply_incremental(ci, upserts=upd)
+    assert ci.trigram_index("content") is None
+
+    # fallback (index=None) still finds the fresh substring
+    hit = trigram.substring_search(
+        ci.docs, "doc_id", "content", "freshly_injected", None
+    )
+    assert len(_ids(hit)) == 1
+
+    # re-save against the new state -> live again and finds it
+    ci.save_trigram("content")
+    idx2 = ci.trigram_index("content")
+    assert idx2 is not None
+    assert len(_ids(trigram.substring_search(
+        ci.docs, "doc_id", "content", "freshly_injected", idx2
+    ))) == 1
+
+
+def test_engine_contains_uses_trigram(spark):
+    """enable_contains engines with and without trigram handles return
+    identical results — acceleration, not semantics."""
+    from lighthouse_spark.api.engine import SearchEngine
+    from lighthouse_spark.api.request import SearchRequest
+    from lighthouse_spark.plans.indexer import FieldSpec, build_index
+    from lighthouse_spark.sources.claims import synthetic_claims
+
+    claims = synthetic_claims(spark, 200).cache()
+    idx = build_index(
+        claims, "doc_id",
+        {"name": FieldSpec("name", positions=True),
+         "title": FieldSpec("title", positions=True),
+         "description": FieldSpec("description", positions=True),
+         "channel": FieldSpec("channel", positions=True)},
+        mode="simple",
+    ).cache()
+    handles = {
+        lg: tuple(x.cache() for x in trigram.build_trigram_index(claims, "doc_id", lg))
+        for lg in ("name", "title", "description")
+    }
+    base = SearchEngine(idx, enable_contains=True)
+    accel = SearchEngine(idx, enable_contains=True, trigram=handles)
+    req = SearchRequest(s="crypto", size=25)
+    a = [(r["doc_id"], r["score"]) for r in base.search(req).select("doc_id", "score").collect()]
+    b = [(r["doc_id"], r["score"]) for r in accel.search(req).select("doc_id", "score").collect()]
+    assert a == b and a
