@@ -591,6 +591,17 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filter (Rae et al. 2021 §A1.1): duplicate
+    line/paragraph fractions (pure column math, no shuffle), top-{2,3,4}
+    / dup-{5,6,7} n-gram character fractions (ONE explode + ONE
+    grouped count for all n), and the published keep verdict."""
+    from lighthouse_spark.pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return T.gopher_repetition_filter(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lighthouse_spark.pipeline import text as T
 
@@ -809,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_expand_d2": q_fuzzy_expand_d2,
         "substring_search": q_substring_search,
         "regex_search": q_regex_search,
+        "gopher_repetition": q_gopher_repetition,
         "mlt_terms": q_mlt_terms,
         "bool_should": q_bool_should,
         "autocomplete_prefix": q_autocomplete_prefix,
@@ -1439,6 +1451,63 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings eb ON eb.vec_id = id_b)
             SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
             WHERE c >= 0.2 ORDER BY id_a, id_b""",
+        "gopher_repetition": f"""
+            WITH tok AS (
+              SELECT doc_id, length(text)::DOUBLE AS nchars, {_TOK} AS toks, text
+              FROM documents),
+            base AS (
+              SELECT doc_id, nchars,
+                list_filter(list_transform(string_split(text, chr(10)||chr(10)), p -> trim(p)), p -> p <> '') AS paras,
+                list_filter(list_transform(string_split(text, chr(10)), p -> trim(p)), p -> p <> '') AS lines
+              FROM tok),
+            lp AS (
+              SELECT doc_id,
+                round((len(paras) - len(list_distinct(paras)))::DOUBLE / greatest(len(paras),1), 6) AS dup_para_frac,
+                round((coalesce(list_sum(list_transform(paras, p -> length(p))),0)
+                     - coalesce(list_sum(list_transform(list_distinct(paras), p -> length(p))),0))::DOUBLE
+                     / greatest(coalesce(list_sum(list_transform(paras, p -> length(p))),0),1), 6) AS dup_para_char_frac,
+                round((len(lines) - len(list_distinct(lines)))::DOUBLE / greatest(len(lines),1), 6) AS dup_line_frac,
+                round((coalesce(list_sum(list_transform(lines, p -> length(p))),0)
+                     - coalesce(list_sum(list_transform(list_distinct(lines), p -> length(p))),0))::DOUBLE
+                     / greatest(coalesce(list_sum(list_transform(lines, p -> length(p))),0),1), 6) AS dup_line_char_frac
+              FROM base),
+            grams AS (
+              SELECT doc_id, nchars, n, array_to_string(toks[i:i+n-1], ' ') AS gram
+              FROM (
+                SELECT t.doc_id, t.nchars, t.toks, n.n AS n,
+                       unnest(range(1, len(t.toks) - n.n + 2)) AS i
+                FROM tok t CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7)) n(n)
+                WHERE len(t.toks) >= n.n)),
+            cnts AS (
+              SELECT doc_id, nchars, n, gram, count(*)::BIGINT AS cnt
+              FROM grams GROUP BY ALL),
+            aggs AS (
+              SELECT doc_id,
+                round(least(1.0, coalesce(max(CASE WHEN n=2 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_2gram_char_frac,
+                round(least(1.0, coalesce(max(CASE WHEN n=3 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_3gram_char_frac,
+                round(least(1.0, coalesce(max(CASE WHEN n=4 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_4gram_char_frac,
+                round(least(1.0, coalesce(sum(CASE WHEN n=5 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_5gram_char_frac,
+                round(least(1.0, coalesce(sum(CASE WHEN n=6 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_6gram_char_frac,
+                round(least(1.0, coalesce(sum(CASE WHEN n=7 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_7gram_char_frac
+              FROM cnts GROUP BY doc_id, nchars)
+            SELECT l.doc_id,
+              l.dup_para_frac, l.dup_para_char_frac, l.dup_line_frac, l.dup_line_char_frac,
+              coalesce(a.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+              coalesce(a.top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+              coalesce(a.top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+              coalesce(a.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+              coalesce(a.dup_6gram_char_frac, 0.0) AS dup_6gram_char_frac,
+              coalesce(a.dup_7gram_char_frac, 0.0) AS dup_7gram_char_frac,
+              (l.dup_line_frac <= 0.30 AND l.dup_para_frac <= 0.30
+               AND l.dup_line_char_frac <= 0.20 AND l.dup_para_char_frac <= 0.20
+               AND coalesce(a.top_2gram_char_frac,0.0) <= 0.20
+               AND coalesce(a.top_3gram_char_frac,0.0) <= 0.18
+               AND coalesce(a.top_4gram_char_frac,0.0) <= 0.16
+               AND coalesce(a.dup_5gram_char_frac,0.0) <= 0.15
+               AND coalesce(a.dup_6gram_char_frac,0.0) <= 0.14
+               AND coalesce(a.dup_7gram_char_frac,0.0) <= 0.13) AS keep
+            FROM lp l LEFT JOIN aggs a USING (doc_id)
+            ORDER BY l.doc_id""",
         "text_analysis": f"""
             WITH norm AS (SELECT doc_id, text, {_TOKS_LIST} AS t FROM documents),
             scored AS (

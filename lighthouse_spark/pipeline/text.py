@@ -93,6 +93,160 @@ def quality_score(col: Column | str) -> Column:
     return F.round((len_ok + alpha_ok + stop_ok + wlen_ok) / 4.0, 6)
 
 
+# Gopher repetition thresholds (Rae et al. 2021, "Scaling Language
+# Models: ...", Table A1): a doc is removed when ANY signal exceeds
+# its bound.
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+}
+
+
+def _dup_fracs(parts: Column, prefix: str) -> dict[str, Column]:
+    """(fraction of repeated elements, fraction of chars in repeat
+    occurrences beyond the first) for an array of line/paragraph
+    strings — Σlen(all) − Σlen(distinct) is exactly the chars spent on
+    re-occurrences. Pure per-row expressions, no shuffle."""
+    n = F.size(parts)
+    n_d = F.size(F.array_distinct(parts))
+    chars = F.aggregate(parts, F.lit(0).cast("long"), lambda s, x: s + F.length(x))
+    chars_d = F.aggregate(
+        F.array_distinct(parts), F.lit(0).cast("long"), lambda s, x: s + F.length(x)
+    )
+    return {
+        f"dup_{prefix}_frac": F.round(
+            (n - n_d) / F.greatest(n, F.lit(1)).cast("double"), 6
+        ),
+        f"dup_{prefix}_char_frac": F.round(
+            (chars - chars_d) / F.greatest(chars, F.lit(1)).cast("double"), 6
+        ),
+    }
+
+
+def _split_parts(c: Column, sep: str) -> Column:
+    """Trimmed non-empty line/paragraph segments."""
+    return F.filter(
+        F.transform(F.split(c, sep), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def gopher_repetition(
+    docs, id_col: str, text_col: str, top_ns=(2, 3, 4), dup_ns=(5, 6, 7)
+):
+    """Gopher repetition signals (Rae et al. 2021 §A1.1) per document.
+
+    Line/paragraph signals are pure column math. The word-n-gram
+    signals for ALL n values ride ONE explode → ONE partial-aggregating
+    groupBy on (doc, n, gram) — at 100 TB that is a single shuffle
+    whose width is the corpus token stream, never an n-pass scan.
+
+    Char fractions are normalized by length(text). ``top_n`` = chars
+    covered by the single most frequent n-gram (count × len);
+    ``dup_n`` = chars in n-grams occurring more than once (count × len,
+    capped at 1.0) — the standard open-source simplification of
+    Gopher's span-coverage accounting (overlaps not deduplicated),
+    which this module states rather than hides.
+    """
+    c = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.length(c).cast("double").alias("_nchars"),
+        tokens_simple(c).alias("_toks"),
+        *[
+            v.alias(k)
+            for sep, pfx in (("\n\n", "para"), ("\n", "line"))
+            for k, v in _dup_fracs(_split_parts(c, sep), pfx).items()
+        ],
+    )
+
+    def ngrams(n: int) -> Column:
+        toks = F.col("_toks")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(toks, i + 1, n), " ").alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast(f"array<struct<n:int,gram:string>>"))
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    pairs = base.select(
+        id_col,
+        "_nchars",
+        F.explode(F.concat(*[ngrams(n) for n in all_ns])).alias("g"),
+    )
+    counted = (
+        pairs.groupBy(id_col, "_nchars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("chars", F.col("cnt") * F.length("gram"))
+    )
+    aggs = []
+    for n in top_ns:
+        # a gram seen once is not repetition (cnt>1 gate, as the
+        # public Gopher reimplementations apply it); overlapping
+        # occurrences can cover more chars than the text has -> cap
+        aggs.append(
+            F.round(
+                F.least(
+                    F.coalesce(
+                        F.max(
+                            F.when(
+                                (F.col("n") == n) & (F.col("cnt") > 1), F.col("chars")
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                    / F.col("_nchars"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.round(
+                F.least(
+                    F.coalesce(
+                        F.sum(
+                            F.when((F.col("n") == n) & (F.col("cnt") > 1), F.col("chars"))
+                        ),
+                        F.lit(0),
+                    )
+                    / F.col("_nchars"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    grams_agg = counted.groupBy(id_col, "_nchars").agg(*aggs)
+    out = base.drop("_toks").join(grams_agg.drop("_nchars"), on=id_col, how="left")
+    fills = {f"top_{n}gram_char_frac": 0.0 for n in top_ns}
+    fills.update({f"dup_{n}gram_char_frac": 0.0 for n in dup_ns})
+    return out.fillna(fills).drop("_nchars")
+
+
+def gopher_repetition_filter(docs, id_col: str, text_col: str):
+    """Signals + the published keep/remove verdict: keep iff every
+    signal is at or under its Gopher Table-A1 threshold."""
+    sig = gopher_repetition(docs, id_col, text_col)
+    keep = F.lit(True)
+    for name, bound in GOPHER_THRESHOLDS.items():
+        if name in sig.columns:
+            keep = keep & (F.col(name) <= bound)
+    return sig.withColumn("keep", keep)
+
+
 def fingerprint_sha(col: Column | str) -> Column:
     """Whole-document fingerprint: sha256 of the normalized token
     stream (whitespace/case/punct-insensitive identity)."""

@@ -81,3 +81,82 @@ def test_winnowing_matches_python(df):
     for r in rows:
         txt = dict(SAMPLES)[r["id"]]
         assert list(r["fp"]) == py_winnow(txt), r["id"]
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+GOPHER_SAMPLES = [
+    (1, "a b c d e f g h i j"),                 # all distinct: every signal 0
+    (2, "x y\nx y\nz w\n\nx y\nx y\nz w"),       # dup lines AND dup paras
+    (3, "spam ham " * 20),                       # saturating n-gram repetition
+    (4, "one two"),                              # shorter than every dup n
+    (5, ""),                                     # empty
+    (6, "alpha beta gamma alpha beta gamma alpha beta delta epsilon"),
+]
+
+
+def _py_gopher(text: str) -> dict:
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    nchars = len(text)
+
+    def dup_fracs(raw_parts):
+        parts = [p.strip() for p in raw_parts]
+        parts = [p for p in parts if p]
+        n, nd = len(parts), len(set(parts))
+        chars = sum(map(len, parts))
+        chars_d = sum(map(len, set(parts)))
+        return (
+            round((n - nd) / max(n, 1), 6),
+            round((chars - chars_d) / max(chars, 1), 6),
+        )
+
+    out = {}
+    out["dup_para_frac"], out["dup_para_char_frac"] = dup_fracs(text.split("\n\n"))
+    out["dup_line_frac"], out["dup_line_char_frac"] = dup_fracs(text.split("\n"))
+
+    def counts(n):
+        from collections import Counter
+        return Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ) if len(toks) >= n else {}
+
+    for n in (2, 3, 4):
+        c = counts(n)
+        top = max((cnt * len(g) for g, cnt in c.items() if cnt > 1), default=0)
+        out[f"top_{n}gram_char_frac"] = round(min(1.0, top / nchars), 6) if nchars else 0.0
+    for n in (5, 6, 7):
+        c = counts(n)
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        out[f"dup_{n}gram_char_frac"] = round(min(1.0, dup / nchars), 6) if nchars else 0.0
+    return out
+
+
+def test_gopher_repetition_exact(spark):
+    df = spark.createDataFrame(GOPHER_SAMPLES, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in T.gopher_repetition(df, "doc_id", "text").collect()
+    }
+    for doc_id, text in GOPHER_SAMPLES:
+        want = _py_gopher(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=2e-6), (doc_id, k)
+
+
+def test_gopher_filter_verdicts(spark):
+    df = spark.createDataFrame(GOPHER_SAMPLES, "doc_id long, text string")
+    keep = {
+        r["doc_id"]: r["keep"]
+        for r in T.gopher_repetition_filter(df, "doc_id", "text").collect()
+    }
+    # clean docs keep; repeated-structure docs are removed
+    assert keep[1] and keep[4] and keep[5]
+    assert not keep[2] and not keep[3]
+    # verdict is exactly the conjunction of the published thresholds
+    for doc_id, text in GOPHER_SAMPLES:
+        want = all(
+            v <= T.GOPHER_THRESHOLDS[k] for k, v in _py_gopher(text).items()
+        )
+        assert keep[doc_id] == want, doc_id
