@@ -591,6 +591,19 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup accounting (Lee et al. 2021): per doc, the
+    count of token-8-gram windows shared with >=2 documents and the
+    overlap-exact fraction of token positions those spans cover — the
+    quantity a span-removal pass would delete."""
+    from lighthouse_spark.pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_span_coverage(
+        docs, "doc_id", "text", k=8, min_docs=2
+    ).orderBy("doc_id")
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filter (Rae et al. 2021 §A1.1): duplicate
     line/paragraph fractions (pure column math, no shuffle), top-{2,3,4}
@@ -821,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": q_substring_search,
         "regex_search": q_regex_search,
         "gopher_repetition": q_gopher_repetition,
+        "span_dedup": q_span_dedup,
         "mlt_terms": q_mlt_terms,
         "bool_should": q_bool_should,
         "autocomplete_prefix": q_autocomplete_prefix,
@@ -1451,6 +1465,32 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings eb ON eb.vec_id = id_b)
             SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
             WHERE c >= 0.2 ORDER BY id_a, id_b""",
+        "span_dedup": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            wins AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+                    FROM tok WHERE len(toks) >= 8)),
+            stats AS (
+              SELECT gram FROM wins GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+            dup AS (SELECT * FROM wins WHERE gram IN (SELECT gram FROM stats)),
+            perdoc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+              FROM dup GROUP BY doc_id),
+            cov AS (
+              SELECT doc_id, count(*)::BIGINT AS covered FROM (
+                SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS t FROM dup)
+              GROUP BY doc_id),
+            base AS (SELECT doc_id, len(toks) AS n_tokens FROM tok)
+            SELECT b.doc_id, b.n_tokens,
+                   coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+                   round(coalesce(c.covered, 0)::DOUBLE
+                         / greatest(b.n_tokens, 1), 6) AS covered_frac
+            FROM base b
+            LEFT JOIN perdoc p USING (doc_id)
+            LEFT JOIN cov c USING (doc_id)
+            ORDER BY b.doc_id""",
         "gopher_repetition": f"""
             WITH tok AS (
               SELECT doc_id, length(text)::DOUBLE AS nchars, {_TOK} AS toks, text

@@ -519,3 +519,105 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# cross-document duplicated spans (substring-level dedup)
+# --------------------------------------------------------------------------
+
+def duplicated_span_windows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Substring-level duplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): token k-gram windows
+    that recur across >= min_docs documents, the unit suffix-array
+    dedup removes. Returns (windows, stats):
+
+      windows: (id, pos, gram) — every duplicated window occurrence,
+               pos 0-based in the token stream
+      stats:   (gram, n_docs, n_occ) — per duplicated k-gram
+
+    Scale shape: the window explode is the token stream width (the
+    same cost as index build), the gram groupBy partial-aggregates
+    map-side, and the windows-to-stats join shuffles on gram — never
+    an all-pairs comparison, never a suffix array in one memory.
+    """
+    from lighthouse_spark.pipeline.text import tokens_simple
+
+    wins = (
+        docs.select(F.col(id_col), tokens_simple(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("_toks", i + 1, k), " ").alias("gram"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    )
+    stats = (
+        wins.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    dup = wins.join(stats.select("gram"), on="gram", how="left_semi")
+    return dup, stats
+
+
+def duplicated_span_coverage(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document contamination accounting over duplicated spans:
+    (id, n_tokens, n_dup_windows, covered_frac) where covered_frac is
+    the overlap-deduplicated fraction of token positions lying inside
+    at least one cross-document duplicated k-gram — the quantity a
+    span-removal pass would delete.
+
+    The coverage union is an explode(sequence(pos, pos+k-1)) +
+    distinct + count — overlap-exact, all JVM-side, and its width is
+    bounded by k x duplicated windows, not the corpus."""
+    from lighthouse_spark.pipeline.text import tokens_simple
+
+    dup, _ = duplicated_span_windows(docs, id_col, text_col, k, min_docs)
+    base = docs.select(
+        F.col(id_col), F.size(tokens_simple(text_col)).alias("n_tokens")
+    )
+    per_doc = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    covered = (
+        dup.select(
+            id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("t")
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_covered"))
+    )
+    return (
+        base.join(per_doc, on=id_col, how="left")
+        .join(covered, on=id_col, how="left")
+        .fillna({"n_dup_windows": 0, "_covered": 0})
+        .select(
+            id_col,
+            "n_tokens",
+            "n_dup_windows",
+            F.round(
+                F.col("_covered") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"), 6
+            ).alias("covered_frac"),
+        )
+    )

@@ -159,3 +159,43 @@ def test_embedding_near_dup(spark):
     }
     assert lsh <= set(bf) or lsh == set(bf)
     assert (1, 2) in lsh  # hyperplane bucketing keeps near-identical vectors together
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated spans (substring-level dedup, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+def test_duplicated_span_coverage_exact(spark):
+    from lighthouse_spark.pipeline.dedup import (
+        duplicated_span_coverage,
+        duplicated_span_windows,
+    )
+
+    rows = [
+        # docs 1/2 share an 8-token run (shifted); doc 3 is clean;
+        # doc 4 repeats the shared run INTERNALLY twice (n_occ counts
+        # them, but min_docs gates on distinct docs)
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "xxx alpha beta gamma delta epsilon zeta eta theta yyy"),
+        (3, "totally different words here none shared at all with others ok"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta"),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cov = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_windows"], r["covered_frac"])
+        for r in duplicated_span_coverage(df, "doc_id", "text", k=8).collect()
+    }
+    assert cov[1] == (10, 1, 0.8)       # window [0..7] of 10 tokens
+    assert cov[2] == (10, 1, 0.8)       # window [1..8]
+    assert cov[3] == (11, 0, 0.0)
+    # doc 4: 16 tokens; only the windows at pos 0 and 8 equal the
+    # cross-doc phrase (the 7 interior rotations exist nowhere else),
+    # and those two cover every token position
+    assert cov[4] == (16, 2, 1.0)
+    assert cov[5] == (2, 0, 0.0)        # below k: no windows at all
+
+    wins, stats = duplicated_span_windows(df, "doc_id", "text", k=8)
+    srow = {r["gram"]: (r["n_docs"], r["n_occ"]) for r in stats.collect()}
+    key = "alpha beta gamma delta epsilon zeta eta theta"
+    assert srow[key] == (3, 4)          # docs 1,2,4; doc 4 twice

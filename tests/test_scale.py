@@ -95,3 +95,26 @@ def test_composite_search_scale_smoke(big):
     assert len(rows) == 25
     rows2 = eng.search(SearchRequest(s="crypto news", size=10, nsfw=False)).collect()
     assert 0 < len(rows2) <= 10
+
+
+def test_trigram_substring_at_scale(big):
+    """Substring search over 100k docs through the trigram index: the
+    only driver-side transfer is the query's own gram dfs (bounded by
+    needle length), and the rarest-k intersection scans a small slice
+    of the postings, never the corpus text."""
+    from lighthouse_spark.operators import trigram
+
+    claims, _ = big
+    tri = trigram.build_trigram_index(claims, "doc_id", "title")
+    tri = (tri[0].cache(), tri[1].cache())
+    # a needle sliced from a real title: guaranteed hits
+    body = claims.orderBy("doc_id").limit(1).collect()[0]["title"].lower()
+    needle = body[: max(6, len(body) // 2)].strip()
+    got = trigram.substring_search(claims, "doc_id", "title", needle, tri)
+    want = claims.filter(F.lower(F.col("title")).contains(needle))
+    assert got.count() == want.count() > 0
+    # absent needle short-circuits to provably-empty without a job
+    assert (
+        trigram.substring_candidates(tri[0], tri[1], "doc_id", "zqxjkwvzzz")
+        is None
+    )
