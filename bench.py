@@ -123,6 +123,24 @@ def main() -> None:
         autocomplete(cidx_flat, AutoCompleteRequest(s="interesting am", size=10)).collect()
         timings["autocomplete"] = round(time.time() - t0, 3)
 
+        # ---- substring search via the trigram index (Q6 scale path;
+        # new in r4 — totals are not 1:1 comparable to r3, per-query
+        # keys are). The full-scan A/B rides in extra. ----
+        from lighthouse_spark.operators import trigram as tri_mod
+
+        tri = tri_mod.build_trigram_index(docs, "doc_id", "text")
+        tri = (tri[0].persist(), tri[1].persist())
+        tri[1].count(); tri[0].count()
+        needle = "fast merge"
+        tri_mod.substring_search(docs, "doc_id", "text", needle, tri).count()
+        t0 = time.time()
+        tri_mod.substring_search(docs, "doc_id", "text", needle, tri).count()
+        timings["substring_trigram"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        tri_mod.substring_search(docs, "doc_id", "text", needle, None).count()
+        extra["substring_fullscan_sec"] = round(time.time() - t0, 3)
+        tri[0].unpersist(); tri[1].unpersist()
+
         # ---- incremental sync (upsert batch into the compressed index) ----
         from pyspark.sql import functions as Fx
 

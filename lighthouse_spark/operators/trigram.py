@@ -97,17 +97,27 @@ def query_grams(s: str, lowercase: bool = True) -> list[str]:
 
 
 def _rarest_grams(
-    stats: DataFrame, grams: list[str], k: int
+    stats: DataFrame, grams: list[str], k: int, selective_df: int = 2000
 ) -> list[str] | None:
-    """The k lowest-df query grams, or None when some gram has df 0 —
+    """Up to k lowest-df query grams, or None when some gram has df 0 —
     in that case NO document can contain the query and the caller may
-    return empty without touching postings. The collect here is bounded
-    by the query's own gram count, never corpus size."""
+    return empty without touching postings. Cost-based (Zoekt-style)
+    early stop: once the accumulated candidate bound is already small
+    (rarest df ≤ selective_df), further grams only add postings-scan
+    and intersection-shuffle cost for no real pruning — a single
+    selective gram needs no intersection at all. The collect here is
+    bounded by the query's own gram count, never corpus size."""
     rows = stats.filter(F.col("gram").isin(grams)).collect()
     dfs = {r["gram"]: r["df"] for r in rows}
     if len(dfs) < len(grams):
         return None
-    return sorted(grams, key=lambda g: (dfs[g], g))[: max(1, k)]
+    ranked = sorted(grams, key=lambda g: (dfs[g], g))[: max(1, k)]
+    chosen = [ranked[0]]
+    for g in ranked[1:]:
+        if dfs[chosen[-1]] <= selective_df:
+            break
+        chosen.append(g)
+    return chosen
 
 
 def _gram_pred(postings: DataFrame, chosen: list[str]):
@@ -139,9 +149,18 @@ def substring_candidates(
     chosen = _rarest_grams(stats, grams, k_rarest)
     if chosen is None:
         return None
+    return _intersect_grams(postings, id_col, chosen)
+
+
+def _intersect_grams(postings: DataFrame, id_col: str, chosen: list[str]) -> DataFrame:
+    """Docs containing ALL chosen grams. One selective gram needs no
+    intersection shuffle at all — postings rows are distinct per
+    (gram, id), so the slice IS the candidate set."""
+    sliced = postings.filter(_gram_pred(postings, chosen))
+    if len(chosen) == 1:
+        return sliced.select(id_col)
     return (
-        postings.filter(_gram_pred(postings, chosen))
-        .groupBy(id_col)
+        sliced.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_g"))
         .filter(F.col("_g") == len(chosen))
         .select(id_col)
@@ -242,14 +261,7 @@ def regex_search(
     chosen = _rarest_grams(index[1], grams, k_rarest)
     if chosen is None:
         return docs.filter(F.lit(False))
-    cands = (
-        index[0]
-        .filter(_gram_pred(index[0], chosen))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_g"))
-        .filter(F.col("_g") == len(chosen))
-        .select(id_col)
-    )
+    cands = _intersect_grams(index[0], id_col, chosen)
     return docs.join(cands, on=id_col, how="left_semi").filter(verify)
 
 
