@@ -252,9 +252,17 @@ def regex_search(
 
     Every required literal's grams must all be present, so the
     prefilter intersects the rarest k grams drawn across ALL required
-    literals. No usable literal → honest full verify scan."""
+    literals. No usable literal → honest full verify scan.
+
+    Case soundness: with ``lowercase=True`` (default) literals are
+    case-folded by query_grams, so ``(?i)`` patterns prefilter
+    correctly against the lowered index. With a case-SENSITIVE index,
+    an ``(?i)`` literal's grams are not required as-cased — skip the
+    prefilter rather than risk a false provably-empty."""
     verify = _lowered(docs, text_col, lowercase).rlike(pattern)
     lits = [l for l in required_literals(pattern) if len(l) >= 3]
+    if not lowercase and "(?i" in pattern:
+        lits = []
     if index is None or not lits:
         return docs.filter(verify)
     grams = sorted({g for l in lits for g in query_grams(l, lowercase)})

@@ -196,3 +196,28 @@ def test_engine_contains_uses_trigram(spark):
     a = [(r["doc_id"], r["score"]) for r in base.search(req).select("doc_id", "score").collect()]
     b = [(r["doc_id"], r["score"]) for r in accel.search(req).select("doc_id", "score").collect()]
     assert a == b and a
+
+
+def test_regex_case_insensitive_flag(docs, tri, needles):
+    """(?i) patterns: the lowered index prefilters on case-folded
+    literal grams (query_grams lowercases) — results must equal the
+    full verify scan, including when the pattern literal is uppercase."""
+    pat = f"(?i){re.escape(needles[0].upper())}"
+    got = _ids(trigram.regex_search(docs, "doc_id", "content", pat, tri))
+    want = _ids(docs.filter(F.lower(F.col("content")).rlike(pat)))
+    assert got == want and got  # non-empty: the needle IS in the text
+
+
+def test_regex_case_sensitive_index_skips_prefilter(spark):
+    """A case-SENSITIVE index must not prefilter an (?i) pattern's
+    as-cased literals (false provably-empty); the guard falls back to
+    the full verify scan."""
+    rows = [(1, "Hello World Example"), (2, "nothing here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    tri_cs = trigram.build_trigram_index(df, "doc_id", "text", lowercase=False)
+    got = _ids(
+        trigram.regex_search(
+            df, "doc_id", "text", "(?i)HELLO WORLD", tri_cs, lowercase=False
+        )
+    )
+    assert got == [1]
