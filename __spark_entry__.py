@@ -604,6 +604,23 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-removal pass (Lee et al. 2021, second half): global
+    keep-first over every cross-doc duplicated 8-gram, token positions
+    of all other occurrences dropped, text rebuilt from the survivors.
+    Compared by sha256 of the cleaned text."""
+    from lighthouse_spark.pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.strip_duplicated_spans(docs, "doc_id", "text", k=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    ).orderBy("doc_id")
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition filter (Rae et al. 2021 §A1.1): duplicate
     line/paragraph fractions (pure column math, no shuffle), top-{2,3,4}
@@ -835,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_search": q_regex_search,
         "gopher_repetition": q_gopher_repetition,
         "span_dedup": q_span_dedup,
+        "span_strip": q_span_strip,
         "mlt_terms": q_mlt_terms,
         "bool_should": q_bool_should,
         "autocomplete_prefix": q_autocomplete_prefix,
@@ -1465,6 +1483,41 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings eb ON eb.vec_id = id_b)
             SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
             WHERE c >= 0.2 ORDER BY id_a, id_b""",
+        "span_strip": f"""
+            WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            wins AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+                    FROM tok WHERE len(toks) >= 8)),
+            stats AS (
+              SELECT gram FROM wins GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+            dup AS (SELECT * FROM wins WHERE gram IN (SELECT gram FROM stats)),
+            ranked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+              FROM dup),
+            removedpos AS (
+              SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tpos
+              FROM ranked WHERE rn > 1),
+            toklist AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     unnest(range(0, len(toks))) AS tpos
+              FROM tok),
+            kept AS (
+              SELECT t.doc_id, t.tok, t.tpos FROM toklist t
+              ANTI JOIN removedpos r
+                ON t.doc_id = r.doc_id AND t.tpos = r.tpos),
+            rebuilt AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+                     count(*)::BIGINT AS kept_n
+              FROM kept GROUP BY doc_id),
+            base AS (SELECT doc_id, len(toks) AS n_tokens FROM tok)
+            SELECT b.doc_id, b.n_tokens,
+                   (b.n_tokens - coalesce(r.kept_n, 0))::BIGINT AS n_removed,
+                   sha256(coalesce(r.clean_text, '')) AS clean_sha
+            FROM base b LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY b.doc_id""",
         "span_dedup": f"""
             WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
             wins AS (

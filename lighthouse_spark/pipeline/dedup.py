@@ -621,3 +621,73 @@ def duplicated_span_coverage(
             ).alias("covered_frac"),
         )
     )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-removal pass (the second half of Lee et al. 2021): for each
+    cross-document duplicated k-gram keep its GLOBAL first occurrence
+    (min (id, pos)) and drop the token positions of every other
+    occurrence. Returns (id, clean_text, n_tokens, n_removed).
+
+    Semantics note: a kept window may overlap a removed one — removal
+    wins (a position inside any non-first occurrence is dropped).
+    Deterministic: the keeper is an aggregation minimum, not an
+    arbitrary row.
+
+    Scale shape: the keeper per gram is a map-side-combining min
+    aggregation (NO per-gram sort window — a viral span with millions
+    of occurrences would make that window a straggler); removal is an
+    anti join on (id, token position); reconstruction sorts each doc's
+    surviving tokens inside one collected array. No all-pairs, no
+    driver-side text."""
+    from pyspark.sql import Window  # noqa: F401  (documented non-use)
+    from lighthouse_spark.pipeline.text import tokens_simple
+
+    dup, _ = duplicated_span_windows(docs, id_col, text_col, k, min_docs)
+    first = dup.groupBy("gram").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("f")
+    )
+    removed_wins = (
+        dup.join(first, on="gram")
+        .filter(~((F.col(id_col) == F.col("f.i")) & (F.col("pos") == F.col("f.p"))))
+        .select(id_col, "pos")
+    )
+    removed_pos = (
+        removed_wins.select(
+            id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("tpos")
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens_simple(text_col)).alias("tpos", "tok")
+    )
+    kept = toks.join(removed_pos, on=[id_col, "tpos"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    base = docs.select(
+        F.col(id_col), F.size(tokens_simple(text_col)).alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt, on=id_col, how="left")
+        .fillna({"clean_text": "", "_kept": 0})
+        .select(
+            id_col,
+            "clean_text",
+            "n_tokens",
+            (F.col("n_tokens") - F.col("_kept")).cast("long").alias("n_removed"),
+        )
+    )

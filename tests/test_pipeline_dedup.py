@@ -199,3 +199,26 @@ def test_duplicated_span_coverage_exact(spark):
     srow = {r["gram"]: (r["n_docs"], r["n_occ"]) for r in stats.collect()}
     key = "alpha beta gamma delta epsilon zeta eta theta"
     assert srow[key] == (3, 4)          # docs 1,2,4; doc 4 twice
+
+
+def test_strip_duplicated_spans_keep_first_global(spark):
+    from lighthouse_spark.pipeline.dedup import strip_duplicated_spans
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "xxx alpha beta gamma delta epsilon zeta eta theta yyy"),
+        (3, "totally different words here none shared at all with others ok"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in strip_duplicated_spans(df, "doc_id", "text", k=8).collect()
+    }
+    # doc 1 holds the global first occurrence (min (id,pos)) -> intact
+    assert got[1] == ("alpha beta gamma delta epsilon zeta eta theta iota kappa", 10, 0)
+    # doc 2's occurrence is non-first -> its 8 span tokens are dropped
+    assert got[2] == ("xxx yyy", 10, 8)
+    assert got[3][2] == 0
+    # doc 4: both occurrences are non-first -> everything goes
+    assert got[4] == ("", 16, 16)
