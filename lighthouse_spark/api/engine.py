@@ -98,11 +98,14 @@ class SearchEngine:
     # wildcard rewrite scores constant boost). OFF by default = the
     # reference's active surface.
     enable_contains: bool = False
-    # Scale path for enable_contains: {logical field: (postings, stats)}
-    # character-trigram handles (operators/trigram.py, typically
-    # store.trigram_index(col)). With one present, a contains clause
-    # becomes rarest-k gram candidate pruning + exact verify instead of
-    # a full stored-field scan; results are identical either way.
+    # Scale path for enable_contains: {logical field: handle} where a
+    # handle is a (postings, stats) trigram tuple OR a zero-arg
+    # callable returning one / None (operators/trigram.py). Prefer the
+    # callable form — `lambda: store.trigram_index(col)` — so the
+    # store's honest invalidation applies PER REQUEST: a raw tuple
+    # captured before an incremental docs rewrite would silently miss
+    # newly-upserted docs. Resolved handles give results identical to
+    # the unaccelerated scan; a None resolution falls back to it.
     trigram: dict = dc_field(default_factory=dict)
 
     # ---- helpers ----------------------------------------------------------
@@ -250,12 +253,15 @@ class SearchEngine:
         for logical, boost in (("name", 1.0), ("title", 2.0), ("description", 1.0)):
             if not self._has(logical):
                 continue
+            handle = self.trigram.get(logical)
+            if callable(handle):
+                handle = handle()  # live store resolution (see field doc)
             matched = trigram_ops.substring_search(
                 self.docs,
                 self._id,
                 getattr(self.fields, logical),
                 sl,
-                index=self.trigram.get(logical),
+                index=handle,
             )
             parts.append(
                 matched.select(

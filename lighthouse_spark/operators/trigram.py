@@ -71,13 +71,19 @@ def build_trigram_index(
     ``transform(sequence(...))`` expression — whole-stage codegen, no
     Python."""
     t = _lowered(docs, text_col, lowercase)
-    staged = docs.select(F.col(id_col), t.alias("_t"))
+    # length >= 3 guard matters: sequence(1, length-2) with length <= 2
+    # would produce a DESCENDING [1, 0] sequence (Spark defaults step
+    # to -1) and emit junk sub-3-char/empty/NULL "grams" for every
+    # short or null text
+    staged = docs.select(F.col(id_col), t.alias("_t")).filter(
+        F.length("_t") >= 3
+    )
     postings = (
         staged.select(
             id_col,
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(length(_t) - 2, 0)),"
+                    "transform(sequence(1, length(_t) - 2),"
                     " i -> substring(_t, i, 3))"
                 )
             ).alias("gram"),
@@ -290,8 +296,13 @@ def save_trigram_index(
         .partitionBy("pfx")
         .parquet(f"{path}/postings")
     )
+    # aggregate stats from the JUST-WRITTEN postings, not the input
+    # lineage — re-running the corpus scan + gram explode a second
+    # time would double the most expensive job in the build
+    spark = postings.sparkSession
     (
-        postings.groupBy("gram")
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
         .coalesce(1)
         .write.mode("overwrite")

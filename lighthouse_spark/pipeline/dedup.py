@@ -525,6 +525,31 @@ def embedding_near_dup_pairs(
 # cross-document duplicated spans (substring-level dedup)
 # --------------------------------------------------------------------------
 
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from lighthouse_spark.pipeline.text import tokens_simple
+
+    return docs.select(F.col(id_col), tokens_simple(text_col).alias("_toks"))
+
+
+def _windows_of(tokd: DataFrame, id_col: str, k: int) -> DataFrame:
+    return (
+        tokd.filter(F.size("_toks") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("_toks", i + 1, k), " ").alias("gram"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    )
+
+
 def duplicated_span_windows(
     docs: DataFrame,
     id_col: str,
@@ -546,25 +571,7 @@ def duplicated_span_windows(
     map-side, and the windows-to-stats join shuffles on gram — never
     an all-pairs comparison, never a suffix array in one memory.
     """
-    from lighthouse_spark.pipeline.text import tokens_simple
-
-    wins = (
-        docs.select(F.col(id_col), tokens_simple(text_col).alias("_toks"))
-        .filter(F.size("_toks") >= k)
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_toks") - k),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.array_join(F.slice("_toks", i + 1, k), " ").alias("gram"),
-                    ),
-                )
-            ).alias("w"),
-        )
-        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
-    )
+    wins = _windows_of(_tokenized(docs, id_col, text_col), id_col, k)
     stats = (
         wins.groupBy("gram")
         .agg(
@@ -583,6 +590,7 @@ def duplicated_span_coverage(
     text_col: str,
     k: int = 8,
     min_docs: int = 2,
+    cache: bool = True,
 ) -> DataFrame:
     """Per-document contamination accounting over duplicated spans:
     (id, n_tokens, n_dup_windows, covered_frac) where covered_frac is
@@ -592,13 +600,22 @@ def duplicated_span_coverage(
 
     The coverage union is an explode(sequence(pos, pos+k-1)) +
     distinct + count — overlap-exact, all JVM-side, and its width is
-    bounded by k x duplicated windows, not the corpus."""
-    from lighthouse_spark.pipeline.text import tokens_simple
-
-    dup, _ = duplicated_span_windows(docs, id_col, text_col, k, min_docs)
-    base = docs.select(
-        F.col(id_col), F.size(tokens_simple(text_col)).alias("n_tokens")
+    bounded by k x duplicated windows, not the corpus. The tokenized
+    frame and the duplicated-window set are each consumed twice, so
+    both are persisted (cache=False opts out)."""
+    tokd = _tokenized(docs, id_col, text_col)
+    if cache:
+        tokd = tokd.persist()
+    wins = _windows_of(tokd, id_col, k)
+    stats = (
+        wins.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
     )
+    dup = wins.join(stats.select("gram"), on="gram", how="left_semi")
+    if cache:
+        dup = dup.persist()
+    base = tokd.select(F.col(id_col), F.size("_toks").alias("n_tokens"))
     per_doc = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows"))
     covered = (
         dup.select(
@@ -629,6 +646,7 @@ def strip_duplicated_spans(
     text_col: str,
     k: int = 8,
     min_docs: int = 2,
+    cache: bool = True,
 ) -> DataFrame:
     """Span-removal pass (the second half of Lee et al. 2021): for each
     cross-document duplicated k-gram keep its GLOBAL first occurrence
@@ -645,11 +663,21 @@ def strip_duplicated_spans(
     of occurrences would make that window a straggler); removal is an
     anti join on (id, token position); reconstruction sorts each doc's
     surviving tokens inside one collected array. No all-pairs, no
-    driver-side text."""
-    from pyspark.sql import Window  # noqa: F401  (documented non-use)
-    from lighthouse_spark.pipeline.text import tokens_simple
-
-    dup, _ = duplicated_span_windows(docs, id_col, text_col, k, min_docs)
+    driver-side text. The tokenized frame feeds three consumers and
+    the duplicated-window set two, so both are persisted (cache=False
+    opts out)."""
+    tokd = _tokenized(docs, id_col, text_col)
+    if cache:
+        tokd = tokd.persist()
+    wins = _windows_of(tokd, id_col, k)
+    gram_stats = (
+        wins.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    dup = wins.join(gram_stats.select("gram"), on="gram", how="left_semi")
+    if cache:
+        dup = dup.persist()
     first = dup.groupBy("gram").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("f")
     )
@@ -664,8 +692,8 @@ def strip_duplicated_spans(
         )
         .distinct()
     )
-    toks = docs.select(
-        F.col(id_col), F.posexplode(tokens_simple(text_col)).alias("tpos", "tok")
+    toks = tokd.select(
+        F.col(id_col), F.posexplode("_toks").alias("tpos", "tok")
     )
     kept = toks.join(removed_pos, on=[id_col, "tpos"], how="left_anti")
     rebuilt = kept.groupBy(id_col).agg(
@@ -678,9 +706,7 @@ def strip_duplicated_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("_kept"),
     )
-    base = docs.select(
-        F.col(id_col), F.size(tokens_simple(text_col)).alias("n_tokens")
-    )
+    base = tokd.select(F.col(id_col), F.size("_toks").alias("n_tokens"))
     return (
         base.join(rebuilt, on=id_col, how="left")
         .fillna({"clean_text": "", "_kept": 0})

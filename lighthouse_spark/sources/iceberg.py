@@ -34,9 +34,20 @@ def iceberg_available(spark: SparkSession) -> bool:
 
     py4j resolves a missing class to a ``JavaPackage`` placeholder
     WITHOUT raising (attribute access on ``_jvm`` never probes the
-    classloader), so the only reliable jar probe is an explicit
-    ``Class.forName`` — a bare ``spark._jvm.org.apache.iceberg.Table``
-    reference succeeds even on a jar-less JVM."""
+    classloader), so the probe must be an explicit class load. Two
+    loaders are tried because they see different jars: Spark's own
+    ``Utils.classForName`` resolves against the (mutable) Spark
+    classloader — the one ``spark.jars.packages``-delivered jars land
+    in, where py4j's root-loader ``Class.forName`` would
+    false-negative — and plain ``Class.forName`` covers classpath
+    jars if the Utils signature ever shifts."""
+    try:
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.iceberg.Table", False, False
+        )
+        return True
+    except Exception:
+        pass
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True

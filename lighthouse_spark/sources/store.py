@@ -457,12 +457,18 @@ class CompressedIndex:
         return out
 
     def _epoch_key(self) -> tuple:
-        """Changes whenever the index state advances (every op appends
-        a lineage entry) — the invalidation key for driver-side caches."""
+        """Changes whenever the index state advances — the invalidation
+        key for driver-side caches. Lineage length covers merge ops;
+        the versioned-dirs map covers auxiliary saves that do NOT
+        append lineage (save_term_dict, save_trigram — each mints a
+        fresh uuid dir, so a re-save with different parameters can
+        never serve the previous save's memoized frame)."""
         return (
             self.manifest.get("snapshot"),
             len(self.manifest.get("lineage", [])),
             tuple(self.manifest.get("ts_deltas", [])),
+            tuple(sorted(self.manifest.get("dirs", {}).items())),
+            self.manifest.get("term_dict_pfx_len"),
         )
 
     def df_map(self, field: str, terms: list[str]) -> dict[str, int]:

@@ -97,3 +97,21 @@ def test_fuzzy_dict_lifecycle(spark, tmp_path):
     post = expand.expand_fuzzy_fields(ci, ["content"], [Q2])
     assert "sparklihg" in post["content"][Q2]
     assert "sparklight" in post["content"][Q2]
+
+
+def test_term_dict_resave_different_pfx_len(spark, tmp_path):
+    """Re-saving the dictionary with a different pfx_len on a LIVE
+    handle must serve the new layout: the epoch key includes the
+    versioned-dirs map + pfx_len, so the memoized pfx-2 frame can
+    never pair with pfx_len=3 predicates (which would silently match
+    zero partitions and kill all fuzzy expansion)."""
+    docs = synthetic_corpus(spark, 120)
+    ci = build_and_save(docs, "doc_id", {"content": "content"},
+                        str(tmp_path / "idx"), mode="code", n_shards=4)
+    ci.save_term_dict(pfx_len=2)
+    a = expand.expand_fuzzy_fields(ci, ["content"], [Q1])
+    assert ci.term_dict()[1] == 2
+    ci.save_term_dict(pfx_len=3)
+    assert ci.term_dict()[1] == 3
+    b = expand.expand_fuzzy_fields(ci, ["content"], [Q1])
+    assert b == a and "score" in b["content"][Q1]

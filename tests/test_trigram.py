@@ -190,6 +190,9 @@ def test_engine_contains_uses_trigram(spark):
         lg: tuple(x.cache() for x in trigram.build_trigram_index(claims, "doc_id", lg))
         for lg in ("name", "title", "description")
     }
+    # the callable form (live store resolution) must behave identically
+    name_tuple = handles["name"]
+    handles["name"] = lambda: name_tuple
     base = SearchEngine(idx, enable_contains=True)
     accel = SearchEngine(idx, enable_contains=True, trigram=handles)
     req = SearchRequest(s="crypto", size=25)
@@ -221,3 +224,18 @@ def test_regex_case_sensitive_index_skips_prefilter(spark):
         )
     )
     assert got == [1]
+
+
+def test_short_and_null_texts_produce_no_junk_postings(spark):
+    """length<3 / empty / NULL texts must contribute nothing: without
+    the length guard, sequence(1, length-2) runs DESCENDING [1,0] and
+    emits sub-3-char / empty / NULL 'grams' into postings and a null
+    pfx partition on save."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "abc"), (4, None)], "doc_id int, text string"
+    )
+    post, stats = trigram.build_trigram_index(df, "doc_id", "text")
+    rows = post.collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert all(r["gram"] is not None and len(r["gram"]) == 3 for r in rows)
+    assert stats.collect()[0]["gram"] == "abc"
