@@ -239,3 +239,51 @@ def test_short_and_null_texts_produce_no_junk_postings(spark):
     assert {r["doc_id"] for r in rows} == {3}
     assert all(r["gram"] is not None and len(r["gram"]) == 3 for r in rows)
     assert stats.collect()[0]["gram"] == "abc"
+
+
+# ---------------------------------------------------------------------------
+# property: required-literal extraction is SOUND — every literal it
+# returns appears verbatim in every string the pattern matches. We
+# build (pattern, witness) pairs simultaneously from a tiny grammar,
+# so the witness is a match by construction.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.text(alphabet="abcdxyz_ ", min_size=1, max_size=8)
+
+
+@st.composite
+def _pattern_and_witness(draw):
+    import re as _re
+
+    parts = draw(st.lists(st.integers(0, 5), min_size=1, max_size=6))
+    pat, wit = [], []
+    for kind in parts:
+        w = draw(_words)
+        if kind == 0:                      # literal
+            pat.append(_re.escape(w)); wit.append(w)
+        elif kind == 1:                    # alternation, left chosen
+            w2 = draw(_words)
+            pat.append(f"({_re.escape(w)}|{_re.escape(w2)})"); wit.append(w)
+        elif kind == 2:                    # optional group, omitted
+            pat.append(f"(?:{_re.escape(w)})?"); wit.append("")
+        elif kind == 3:                    # char class plus
+            pat.append("[0-9]+"); wit.append(draw(st.text("0123456789", min_size=1, max_size=3)))
+        elif kind == 4:                    # dot-star
+            pat.append(".*"); wit.append(draw(_words))
+        else:                              # required repeat of a group
+            pat.append(f"({_re.escape(w)})+"); wit.append(w * draw(st.integers(1, 2)))
+    return "".join(pat), "".join(wit)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_pattern_and_witness())
+def test_required_literals_sound(pw):
+    import re as _re
+
+    pattern, witness = pw
+    assert _re.search(pattern, witness) is not None  # witness is a match
+    for lit in trigram.required_literals(pattern):
+        assert lit in witness, (pattern, witness, lit)
