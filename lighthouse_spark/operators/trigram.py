@@ -113,7 +113,14 @@ def _rarest_grams(
     and intersection-shuffle cost for no real pruning — a single
     selective gram needs no intersection at all. The collect here is
     bounded by the query's own gram count, never corpus size."""
-    rows = stats.filter(F.col("gram").isin(grams)).collect()
+    pred = F.col("gram").isin(grams)
+    if "pfx" in stats.columns:
+        # live/persisted layouts carry the partition column: name it so
+        # the lookup statically prunes base partitions even when stats
+        # is an aggregate view over base+deltas (grouping-key filters
+        # push below the union and the aggregate)
+        pred = F.col("pfx").isin(sorted({g[:1] for g in grams})) & pred
+    rows = stats.filter(pred).collect()
     dfs = {r["gram"]: r["df"] for r in rows}
     if len(dfs) < len(grams):
         return None

@@ -349,16 +349,7 @@ class CompressedIndex:
         return self._memo("term_dict", build), pfx_len
 
     def _docs_state(self) -> dict:
-        """Identity of the served docs table: base dir + the per-bucket
-        dir map (bucket rewrites flip entries). JSON-normalized keys so
-        a manifest round trip compares equal."""
-        man = self.manifest
-        return {
-            "docs": man.get("dirs", {}).get("docs", "docs"),
-            "docs_buckets": {
-                str(k): v for k, v in (man.get("docs_buckets") or {}).items()
-            },
-        }
+        return _docs_state_of(self.manifest)
 
     def save_trigram(self, text_col: str) -> None:
         """Persist the character-trigram index over ``text_col`` of the
@@ -366,8 +357,11 @@ class CompressedIndex:
         rarest-k gram candidate pruning instead of a full stored-field
         scan — the scale path for the reference's disabled wildcard
         clauses (query.go:39-41). Recorded against the exact docs state
-        it was built from; any bucket rewrite invalidates it honestly
-        (a stale index would silently miss fresh docs)."""
+        it was built from; apply_incremental maintains it with
+        churn-proportional gram deltas (see trigram_index), and any
+        docs rewrite that does NOT go through that path invalidates it
+        honestly (a stale index would silently miss fresh docs). A
+        re-save folds all deltas into a fresh base."""
         from ..operators import trigram as _tri
 
         snap = uuid.uuid4().hex[:12]
@@ -378,25 +372,68 @@ class CompressedIndex:
         man = self.manifest
         man.setdefault("dirs", {})[f"trigram_{text_col}"] = d
         man.setdefault("trigram_for", {})[text_col] = self._docs_state()
+        man.get("trigram_deltas", {}).pop(text_col, None)
         _commit(self.path, man)
 
     def trigram_index(self, text_col: str):
         """Live ``(postings, stats)`` for ``text_col``, or None when
-        never saved or invalidated by a docs rewrite (callers fall back
-        to the verify-only scan — same results, unpruned)."""
+        never saved or invalidated by a docs rewrite outside the
+        incremental path (callers fall back to the verify-only scan —
+        same results, unpruned).
+
+        Delta serving mirrors the term_stats view: the base is masked
+        to ids touched by ANY later batch, each delta to ids touched
+        by LATER batches only (so a twice-updated doc serves only its
+        newest grams and a deleted doc serves none), and stats are
+        derived from the masked view — exact under churn. Query-time
+        gram/pfx predicates push below the union and the stats
+        aggregate, so a lookup scans the pruned base partitions plus
+        the (churn-bounded) deltas, never the vocabulary."""
         man = self.manifest
         d = man.get("dirs", {}).get(f"trigram_{text_col}")
         if not d:
             return None
         if man.get("trigram_for", {}).get(text_col) != self._docs_state():
             return None
-        from ..operators import trigram as _tri
-
+        recs = list(man.get("trigram_deltas", {}).get(text_col, []))
         id_col = man["doc_id_col"]
-        return self._memo(
-            f"trigram_{text_col}",
-            lambda: _tri.load_trigram_index(self.spark, f"{self.path}/{d}", id_col),
-        )
+
+        def build():
+            from .sync import _filter_ids  # lazy: sync imports store
+
+            def mask(fr, ids):
+                if not ids:
+                    return fr
+                return _filter_ids(
+                    fr, F.col(id_col), sorted(ids), self.spark, keep=False
+                )
+
+            cols = ["gram", id_col, "pfx"]
+            base = self.spark.read.parquet(f"{self.path}/{d}/postings").select(*cols)
+            touched = [set(r["touched"]) for r in recs]
+            legs = [mask(base, set().union(*touched) if touched else set())]
+            for i, r in enumerate(recs):
+                if not r.get("has_rows"):
+                    continue
+                fr = self.spark.read.parquet(
+                    f"{self.path}/trigram_delta/{text_col}/{r['snap']}"
+                ).select(*cols)
+                later = (
+                    set().union(*touched[i + 1 :]) if touched[i + 1 :] else set()
+                )
+                legs.append(mask(fr, later))
+            post = legs[0]
+            for leg in legs[1:]:
+                post = post.unionByName(leg)
+            if recs:
+                stats = post.groupBy("pfx", "gram").agg(
+                    F.count(F.lit(1)).alias("df")
+                )
+            else:
+                stats = self.spark.read.parquet(f"{self.path}/{d}/stats")
+            return post, stats
+
+        return self._memo(f"trigram_{text_col}", build)
 
     @property
     def doc_stats(self) -> DataFrame:
@@ -718,6 +755,20 @@ def save_index(
     }
     _commit(path, manifest)
     return CompressedIndex(path=path, spark=spark, manifest=manifest)
+
+
+def _docs_state_of(man: dict) -> dict:
+    """Identity of the docs table a manifest serves: base dir + the
+    per-bucket dir map (bucket rewrites flip entries). JSON-normalized
+    keys so a manifest round trip compares equal. Module-level so sync
+    can stamp the POST-batch state on trigram delta records before the
+    new manifest is committed."""
+    return {
+        "docs": man.get("dirs", {}).get("docs", "docs"),
+        "docs_buckets": {
+            str(k): v for k, v in (man.get("docs_buckets") or {}).items()
+        },
+    }
 
 
 def _commit(path: str, manifest: dict) -> None:

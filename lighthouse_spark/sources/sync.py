@@ -368,11 +368,39 @@ def apply_incremental(
                 .parquet(f"{cindex.path}/{new_docs_dir}")
             )
 
+    # ---- trigram maintenance (churn-proportional, operators/trigram):
+    # for every gram index live against the PRE-batch docs state, write
+    # this batch's gram postings as a delta and record the touched ids
+    # as its mask. A live trigram col missing from the upsert schema
+    # (shouldn't happen — upserts share the docs schema) simply stays
+    # un-updated and invalidates via the state check.
+    tri_cols = []
+    for key in list(man.get("dirs", {})):
+        if key.startswith("trigram_"):
+            col = key[len("trigram_"):]
+            live = man.get("trigram_for", {}).get(col) == cindex._docs_state()
+            if live and (upserts is None or col in upserts.columns):
+                tri_cols.append(col)
+
+    def mk_w_trigram(col):
+        def w():
+            from ..operators import trigram as _tri
+
+            post, _ = _tri.build_trigram_index(upserts, id_col, col)
+            (
+                post.withColumn("pfx", F.substring("gram", 1, 1))
+                .write.mode("overwrite")
+                .parquet(f"{cindex.path}/trigram_delta/{col}/{snap}")
+            )
+
+        return w
+
     from concurrent.futures import ThreadPoolExecutor
 
     writers = [] if skip_docs else [w_docs]
     if upserts is not None:
         writers += [w_blocks, w_doc_stats]
+        writers += [mk_w_trigram(c) for c in tri_cols]
     wrote_ts = bool(ts_frames)
     if wrote_ts:
         writers.append(w_ts_delta)
@@ -433,6 +461,19 @@ def apply_incremental(
         man["deltas"] = man.get("deltas", []) + [snap]
     if wrote_ts:
         man["ts_deltas"] = man.get("ts_deltas", []) + [snap]
+    for col in tri_cols:
+        recs = man.setdefault("trigram_deltas", {}).setdefault(col, [])
+        recs.append(
+            {
+                "snap": snap,
+                "touched": [int(i) for i in aff_ids],
+                "has_rows": upserts is not None,
+            }
+        )
+        # stamp the POST-batch docs state: the gram view (base masked
+        # to later-touched ids + this delta) is exactly what the new
+        # docs table contains, so the index stays live
+        man.setdefault("trigram_for", {})[col] = store_mod._docs_state_of(man)
     man["metrics"]["n_docs"] = n_docs_total
     man.setdefault("lineage", []).append(
         {

@@ -130,7 +130,21 @@ def test_persisted_layout_prunes_partitions(spark, docs, tri, needles, tmp_path)
     assert 0 < len(chosen_pfx) < n_all
 
 
-def test_store_lifecycle_invalidates_on_docs_rewrite(spark, tmp_path):
+def _parity(ci, needle):
+    idx = ci.trigram_index("content")
+    got = _ids(trigram.substring_search(ci.docs, "doc_id", "content", needle, idx))
+    want = _ids(ci.docs.filter(F.lower(F.col("content")).contains(needle.lower())))
+    assert got == want, needle
+    return got
+
+
+def test_store_lifecycle_incremental_maintenance(spark, tmp_path):
+    """The gram index is maintained through apply_incremental with
+    churn-proportional deltas: upserts add gram rows, every touched
+    id's OLD rows are masked, deletes serve nothing — live and exact
+    after each batch, no rebuild. A re-save folds deltas into a fresh
+    base; a docs rewrite OUTSIDE the incremental path still
+    invalidates (state check)."""
     docs = synthetic_corpus(spark, 120)
     path = str(tmp_path / "idx")
     ci = build_and_save(docs, "doc_id", {"content": "content"}, path,
@@ -138,35 +152,41 @@ def test_store_lifecycle_invalidates_on_docs_rewrite(spark, tmp_path):
     assert ci.trigram_index("content") is None
 
     ci.save_trigram("content")
-    idx = ci.trigram_index("content")
-    assert idx is not None
-    body = docs.orderBy("doc_id").limit(1).collect()[0]["content"]
-    needle = body[4:12]
-    got = _ids(trigram.substring_search(ci.docs, "doc_id", "content", needle, idx))
-    want = _ids(ci.docs.filter(F.lower(F.col("content")).contains(needle.lower())))
-    assert got == want and got
+    assert ci.trigram_index("content") is not None
+    row0 = docs.orderBy("doc_id").limit(1).collect()[0]
+    needle = row0["content"][4:12]
+    assert _parity(ci, needle)
 
-    # rewrite one docs bucket -> the index must stop serving (a stale
-    # gram index would silently miss the new doc's substrings)
+    # batch 1: UPDATE doc0 (inject a fresh substring) -> index stays
+    # live, finds the fresh needle, and doc0's OLD grams are masked
     upd = ci.docs.orderBy("doc_id").limit(1).withColumn(
-        "content", F.concat(F.lit("freshly_injected_needle "), F.col("content"))
+        "content", F.concat(F.lit("freshly_injected_needle zz"), F.col("content"))
     )
     ci = sync.apply_incremental(ci, upserts=upd)
-    assert ci.trigram_index("content") is None
+    idx = ci.trigram_index("content")
+    assert idx is not None  # NOT invalidated: delta-maintained
+    assert _parity(ci, "freshly_injected") == [row0["doc_id"]]
+    _parity(ci, needle)
 
-    # fallback (index=None) still finds the fresh substring
-    hit = trigram.substring_search(
-        ci.docs, "doc_id", "content", "freshly_injected", None
+    # batch 2: DELETE doc0 -> its grams serve nothing
+    ci = sync.apply_incremental(ci, del_id_list=[int(row0["doc_id"])])
+    assert ci.trigram_index("content") is not None
+    assert _parity(ci, "freshly_injected") == []
+    _parity(ci, needle)
+
+    # a couple more churn rounds, then fold into a fresh base
+    some = ci.docs.orderBy(F.desc("doc_id")).limit(2).withColumn(
+        "content", F.concat(F.lit("another_marker "), F.col("content"))
     )
-    assert len(_ids(hit)) == 1
-
-    # re-save against the new state -> live again and finds it
+    ci = sync.apply_incremental(ci, upserts=some)
+    assert len(_parity(ci, "another_marker")) == 2
     ci.save_trigram("content")
-    idx2 = ci.trigram_index("content")
-    assert idx2 is not None
-    assert len(_ids(trigram.substring_search(
-        ci.docs, "doc_id", "content", "freshly_injected", idx2
-    ))) == 1
+    assert not ci.manifest.get("trigram_deltas", {}).get("content")
+    assert len(_parity(ci, "another_marker")) == 2
+
+    # an out-of-band docs rewrite (no incremental path) invalidates
+    ci.manifest["trigram_for"]["content"]["docs"] = "docs_v_someone_else"
+    assert ci.trigram_index("content") is None
 
 
 def test_engine_contains_uses_trigram(spark):
