@@ -654,10 +654,27 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
         p = f"{cindex.path}/{sub}"
         if os.path.exists(p):
             shutil.rmtree(p)
-    versioned = re.compile(r"^(docs|doc_stats|term_stats|postings)_v_")
+    versioned = re.compile(
+        r"^(docs|doc_stats|term_stats|postings|term_dict|trigram_.+)_v_"
+    )
     for d in os.listdir(cindex.path):
         if versioned.match(d) and d not in keep:
             shutil.rmtree(f"{cindex.path}/{d}", ignore_errors=True)
+    # trigram delta snaps: keep only the ones the manifest still
+    # references (save_trigram folds deltas and drops its records —
+    # superseded snaps are orphans from then on)
+    tri_root = f"{cindex.path}/trigram_delta"
+    if os.path.exists(tri_root):
+        live = {
+            (col, r["snap"])
+            for col, recs in man.get("trigram_deltas", {}).items()
+            for r in recs
+        }
+        for col in os.listdir(tri_root):
+            cp = f"{tri_root}/{col}"
+            for s in os.listdir(cp):
+                if (col, s) not in live:
+                    shutil.rmtree(f"{cp}/{s}", ignore_errors=True)
     cindex.manifest = man
     return cindex
 

@@ -184,6 +184,16 @@ def test_store_lifecycle_incremental_maintenance(spark, tmp_path):
     assert not ci.manifest.get("trigram_deltas", {}).get("content")
     assert len(_parity(ci, "another_marker")) == 2
 
+    # compaction leaves docs untouched -> the gram index stays live,
+    # and the folded (now-orphaned) delta snaps are swept
+    import os
+
+    ci = sync.compact(ci)
+    assert ci.trigram_index("content") is not None
+    assert len(_parity(ci, "another_marker")) == 2
+    tri_root = f"{path}/trigram_delta/content"
+    assert (not os.path.exists(tri_root)) or os.listdir(tri_root) == []
+
     # an out-of-band docs rewrite (no incremental path) invalidates
     ci.manifest["trigram_for"]["content"]["docs"] = "docs_v_someone_else"
     assert ci.trigram_index("content") is None
