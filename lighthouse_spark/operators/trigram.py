@@ -322,7 +322,7 @@ def load_trigram_index(spark, path: str, id_col: str = "doc_id"):
     The ``pfx`` partition column stays on the postings frame so query
     predicates can statically prune partitions (see _gram_pred)."""
     postings = spark.read.parquet(f"{path}/postings").select(
-        "gram", id_col, "pfx"
+        "gram", id_col, F.col("pfx").cast("string").alias("pfx")
     )
     stats = spark.read.parquet(f"{path}/stats")
     return postings, stats

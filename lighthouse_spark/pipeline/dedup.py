@@ -572,6 +572,15 @@ def duplicated_span_windows(
     an all-pairs comparison, never a suffix array in one memory.
     """
     wins = _windows_of(_tokenized(docs, id_col, text_col), id_col, k)
+    stats, dup = _dup_windows(wins, id_col, min_docs)
+    return dup, stats
+
+
+def _dup_windows(
+    wins: DataFrame, id_col: str, min_docs: int
+) -> tuple[DataFrame, DataFrame]:
+    """(stats, dup): the cross-document duplication gate shared by all
+    three span entry points — one place to change its semantics."""
     stats = (
         wins.groupBy("gram")
         .agg(
@@ -581,7 +590,16 @@ def duplicated_span_windows(
         .filter(F.col("n_docs") >= min_docs)
     )
     dup = wins.join(stats.select("gram"), on="gram", how="left_semi")
-    return dup, stats
+    return stats, dup
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Reuse point for a multi-consumer intermediate: a LAZY local
+    checkpoint rather than persist() — CacheManager entries from
+    persist() outlive the result and leak across repeated operator
+    calls, while checkpoint blocks are released by the ContextCleaner
+    once the returned frame is garbage collected."""
+    return df.localCheckpoint(eager=False)
 
 
 def duplicated_span_coverage(
@@ -602,19 +620,15 @@ def duplicated_span_coverage(
     distinct + count — overlap-exact, all JVM-side, and its width is
     bounded by k x duplicated windows, not the corpus. The tokenized
     frame and the duplicated-window set are each consumed twice, so
-    both are persisted (cache=False opts out)."""
+    both are pinned via lazy local checkpoints (cache=False opts
+    out)."""
     tokd = _tokenized(docs, id_col, text_col)
     if cache:
-        tokd = tokd.persist()
+        tokd = _pin(tokd)
     wins = _windows_of(tokd, id_col, k)
-    stats = (
-        wins.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-    )
-    dup = wins.join(stats.select("gram"), on="gram", how="left_semi")
+    _, dup = _dup_windows(wins, id_col, min_docs)
     if cache:
-        dup = dup.persist()
+        dup = _pin(dup)
     base = tokd.select(F.col(id_col), F.size("_toks").alias("n_tokens"))
     per_doc = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows"))
     covered = (
@@ -664,20 +678,15 @@ def strip_duplicated_spans(
     anti join on (id, token position); reconstruction sorts each doc's
     surviving tokens inside one collected array. No all-pairs, no
     driver-side text. The tokenized frame feeds three consumers and
-    the duplicated-window set two, so both are persisted (cache=False
-    opts out)."""
+    the duplicated-window set two, so both are pinned via lazy local
+    checkpoints (cache=False opts out)."""
     tokd = _tokenized(docs, id_col, text_col)
     if cache:
-        tokd = tokd.persist()
+        tokd = _pin(tokd)
     wins = _windows_of(tokd, id_col, k)
-    gram_stats = (
-        wins.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-    )
-    dup = wins.join(gram_stats.select("gram"), on="gram", how="left_semi")
+    _, dup = _dup_windows(wins, id_col, min_docs)
     if cache:
-        dup = dup.persist()
+        dup = _pin(dup)
     first = dup.groupBy("gram").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("f")
     )

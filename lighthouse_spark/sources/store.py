@@ -408,7 +408,12 @@ class CompressedIndex:
                     fr, F.col(id_col), sorted(ids), self.spark, keep=False
                 )
 
-            cols = ["gram", id_col, "pfx"]
+            # pfx cast to string: partition-column type inference makes
+            # an all-digit gram corpus (numeric field) read pfx as int,
+            # which cannot union with the deltas' substring()-built
+            # string pfx. The cast keeps partition pruning — pruning
+            # evaluates deterministic predicates over partition values.
+            cols = ["gram", id_col, F.col("pfx").cast("string").alias("pfx")]
             base = self.spark.read.parquet(f"{self.path}/{d}/postings").select(*cols)
             touched = [set(r["touched"]) for r in recs]
             legs = [mask(base, set().union(*touched) if touched else set())]

@@ -639,6 +639,17 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
         }
     )
     _commit(cindex.path, man)
+    cindex.manifest = man
+
+    # fold pending trigram deltas into fresh bases: compact is the
+    # bounded-growth point for the gram indexes exactly as it is for
+    # postings/term_stats deltas — without this, the per-batch union
+    # legs and manifest touched-id lists grow with total batches ever
+    # applied. save_trigram re-commits per column.
+    for col, recs in list(man.get("trigram_deltas", {}).items()):
+        if recs and cindex.trigram_index(col) is not None:
+            cindex.save_trigram(col)
+    man = cindex.manifest
 
     # drop delta dirs + EVERY unreferenced versioned dir (intermediate
     # syncs orphan docs_v_* dirs once all their buckets are rewritten;

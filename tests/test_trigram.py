@@ -184,15 +184,24 @@ def test_store_lifecycle_incremental_maintenance(spark, tmp_path):
     assert not ci.manifest.get("trigram_deltas", {}).get("content")
     assert len(_parity(ci, "another_marker")) == 2
 
-    # compaction leaves docs untouched -> the gram index stays live,
-    # and the folded (now-orphaned) delta snaps are swept
+    # compaction AUTO-folds pending deltas into a fresh base (bounded
+    # growth), keeps the index live, and sweeps the orphaned snaps
     import os
 
+    more = ci.docs.orderBy("doc_id").limit(1).withColumn(
+        "content", F.concat(F.lit("compact_pending_marker "), F.col("content"))
+    )
+    ci = sync.apply_incremental(ci, upserts=more)
+    assert ci.manifest.get("trigram_deltas", {}).get("content")  # pending
     ci = sync.compact(ci)
+    assert not ci.manifest.get("trigram_deltas", {}).get("content")  # folded
     assert ci.trigram_index("content") is not None
     assert len(_parity(ci, "another_marker")) == 2
+    assert len(_parity(ci, "compact_pending_marker")) == 1
     tri_root = f"{path}/trigram_delta/content"
-    assert (not os.path.exists(tri_root)) or os.listdir(tri_root) == []
+    assert (not os.path.exists(tri_root)) or os.listdir(f"{tri_root}") == [] or all(
+        os.listdir(f"{tri_root}/{c}") == [] for c in os.listdir(tri_root)
+    )
 
     # an out-of-band docs rewrite (no incremental path) invalidates
     ci.manifest["trigram_for"]["content"]["docs"] = "docs_v_someone_else"
