@@ -632,6 +632,34 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.gopher_repetition_filter(docs, "doc_id", "text").orderBy("doc_id")
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation flow a training-data pipeline runs
+    end-to-end: PII scrub -> Gopher repetition gate -> exact dedup on
+    the scrubbed text (min-id winner) -> per-language survivor summary.
+    One entry proving the pipeline operators COMPOSE under a single
+    oracle, not just pass in isolation."""
+    from lighthouse_spark.pipeline import curate, dedup
+    from lighthouse_spark.pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    scrub = curate.pii_scrub(docs, "text")
+    kept_ids = (
+        T.gopher_repetition_filter(scrub, "doc_id", "text")
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = scrub.join(kept_ids, on="doc_id", how="left_semi")
+    final = dedup.exact_dedup_keep(kept, "doc_id", "text")
+    return (
+        final.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(T.tokens_simple("text"))).cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lighthouse_spark.pipeline import text as T
 
@@ -853,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "span_dedup": q_span_dedup,
         "span_strip": q_span_strip,
+        "curation_pipeline": q_curation_pipeline,
         "mlt_terms": q_mlt_terms,
         "bool_should": q_bool_should,
         "autocomplete_prefix": q_autocomplete_prefix,
@@ -1034,17 +1063,86 @@ def _batch_query_values() -> str:
     return ", ".join(vals)
 
 
+def _gopher_sql(src: str) -> str:
+    """The Gopher-repetition oracle over any (doc_id, text) source
+    CTE/table — shared by the standalone entry and the composed
+    curation pipeline."""
+    return f"""
+            WITH tok AS (
+              SELECT doc_id, length(text)::DOUBLE AS nchars, {_TOK} AS toks, text
+              FROM {src}),
+            base AS (
+              SELECT doc_id, nchars,
+                list_filter(list_transform(string_split(text, chr(10)||chr(10)), p -> trim(p)), p -> p <> '') AS paras,
+                list_filter(list_transform(string_split(text, chr(10)), p -> trim(p)), p -> p <> '') AS lines
+              FROM tok),
+            lp AS (
+              SELECT doc_id,
+                round((len(paras) - len(list_distinct(paras)))::DOUBLE / greatest(len(paras),1), 6) AS dup_para_frac,
+                round((coalesce(list_sum(list_transform(paras, p -> length(p))),0)
+                     - coalesce(list_sum(list_transform(list_distinct(paras), p -> length(p))),0))::DOUBLE
+                     / greatest(coalesce(list_sum(list_transform(paras, p -> length(p))),0),1), 6) AS dup_para_char_frac,
+                round((len(lines) - len(list_distinct(lines)))::DOUBLE / greatest(len(lines),1), 6) AS dup_line_frac,
+                round((coalesce(list_sum(list_transform(lines, p -> length(p))),0)
+                     - coalesce(list_sum(list_transform(list_distinct(lines), p -> length(p))),0))::DOUBLE
+                     / greatest(coalesce(list_sum(list_transform(lines, p -> length(p))),0),1), 6) AS dup_line_char_frac
+              FROM base),
+            grams AS (
+              SELECT doc_id, nchars, n, array_to_string(toks[i:i+n-1], ' ') AS gram
+              FROM (
+                SELECT t.doc_id, t.nchars, t.toks, n.n AS n,
+                       unnest(range(1, len(t.toks) - n.n + 2)) AS i
+                FROM tok t CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7)) n(n)
+                WHERE len(t.toks) >= n.n)),
+            cnts AS (
+              SELECT doc_id, nchars, n, gram, count(*)::BIGINT AS cnt
+              FROM grams GROUP BY ALL),
+            aggs AS (
+              SELECT doc_id,
+                round(least(1.0, coalesce(max(CASE WHEN n=2 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_2gram_char_frac,
+                round(least(1.0, coalesce(max(CASE WHEN n=3 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_3gram_char_frac,
+                round(least(1.0, coalesce(max(CASE WHEN n=4 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_4gram_char_frac,
+                round(least(1.0, coalesce(sum(CASE WHEN n=5 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_5gram_char_frac,
+                round(least(1.0, coalesce(sum(CASE WHEN n=6 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_6gram_char_frac,
+                round(least(1.0, coalesce(sum(CASE WHEN n=7 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_7gram_char_frac
+              FROM cnts GROUP BY doc_id, nchars)
+            SELECT l.doc_id,
+              l.dup_para_frac, l.dup_para_char_frac, l.dup_line_frac, l.dup_line_char_frac,
+              coalesce(a.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+              coalesce(a.top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+              coalesce(a.top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+              coalesce(a.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+              coalesce(a.dup_6gram_char_frac, 0.0) AS dup_6gram_char_frac,
+              coalesce(a.dup_7gram_char_frac, 0.0) AS dup_7gram_char_frac,
+              (l.dup_line_frac <= 0.30 AND l.dup_para_frac <= 0.30
+               AND l.dup_line_char_frac <= 0.20 AND l.dup_para_char_frac <= 0.20
+               AND coalesce(a.top_2gram_char_frac,0.0) <= 0.20
+               AND coalesce(a.top_3gram_char_frac,0.0) <= 0.18
+               AND coalesce(a.top_4gram_char_frac,0.0) <= 0.16
+               AND coalesce(a.dup_5gram_char_frac,0.0) <= 0.15
+               AND coalesce(a.dup_6gram_char_frac,0.0) <= 0.14
+               AND coalesce(a.dup_7gram_char_frac,0.0) <= 0.13) AS keep
+            FROM lp l LEFT JOIN aggs a USING (doc_id)
+            ORDER BY l.doc_id"""
+
+
+def _scrub_sql(expr: str) -> str:
+    """Wrap a SQL text expression in the PII_PATTERNS regexp_replace
+    chain (DuckDB RE2 'g' flag) — same order as curate.pii_scrub_col."""
+    from lighthouse_spark.pipeline.curate import PII_PATTERNS
+
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    return expr
+
+
 def _pii_oracle_sql() -> str:
     """Apply the same PII patterns with DuckDB's RE2 ('g' flag); the
     synthesized dirty text matches _pii_suffix_spark char-for-char."""
-    from lighthouse_spark.pipeline.curate import PII_PATTERNS
-
-    expr = (
+    expr = _scrub_sql(
         "text || ' reach me: user' || doc_id || '@mail.example.com or 10.42.'"
         " || (doc_id % 200) || '.7 call +1 415 555 0111 ssn 123-45-6789'"
     )
-    for _, pat, repl in PII_PATTERNS:
-        expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
     return (
         f"SELECT doc_id, sha256({expr}) AS scrub_sha FROM documents ORDER BY doc_id"
     )
@@ -1483,6 +1581,21 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings eb ON eb.vec_id = id_b)
             SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
             WHERE c >= 0.2 ORDER BY id_a, id_b""",
+        "curation_pipeline": f"""
+            WITH scrub AS (
+              SELECT doc_id, lang, {_scrub_sql("text")} AS text FROM documents),
+            gr AS ({_gopher_sql("scrub")}),
+            kept AS (
+              SELECT s.doc_id, s.lang, s.text
+              FROM scrub s JOIN gr USING (doc_id) WHERE gr.keep),
+            winners AS (
+              SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+            final AS (
+              SELECT k.* FROM kept k
+              WHERE k.doc_id IN (SELECT doc_id FROM winners))
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(len({_TOK}))::BIGINT AS n_tokens
+            FROM final GROUP BY lang ORDER BY lang""",
         "span_strip": f"""
             WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
             wins AS (
@@ -1544,63 +1657,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN perdoc p USING (doc_id)
             LEFT JOIN cov c USING (doc_id)
             ORDER BY b.doc_id""",
-        "gopher_repetition": f"""
-            WITH tok AS (
-              SELECT doc_id, length(text)::DOUBLE AS nchars, {_TOK} AS toks, text
-              FROM documents),
-            base AS (
-              SELECT doc_id, nchars,
-                list_filter(list_transform(string_split(text, chr(10)||chr(10)), p -> trim(p)), p -> p <> '') AS paras,
-                list_filter(list_transform(string_split(text, chr(10)), p -> trim(p)), p -> p <> '') AS lines
-              FROM tok),
-            lp AS (
-              SELECT doc_id,
-                round((len(paras) - len(list_distinct(paras)))::DOUBLE / greatest(len(paras),1), 6) AS dup_para_frac,
-                round((coalesce(list_sum(list_transform(paras, p -> length(p))),0)
-                     - coalesce(list_sum(list_transform(list_distinct(paras), p -> length(p))),0))::DOUBLE
-                     / greatest(coalesce(list_sum(list_transform(paras, p -> length(p))),0),1), 6) AS dup_para_char_frac,
-                round((len(lines) - len(list_distinct(lines)))::DOUBLE / greatest(len(lines),1), 6) AS dup_line_frac,
-                round((coalesce(list_sum(list_transform(lines, p -> length(p))),0)
-                     - coalesce(list_sum(list_transform(list_distinct(lines), p -> length(p))),0))::DOUBLE
-                     / greatest(coalesce(list_sum(list_transform(lines, p -> length(p))),0),1), 6) AS dup_line_char_frac
-              FROM base),
-            grams AS (
-              SELECT doc_id, nchars, n, array_to_string(toks[i:i+n-1], ' ') AS gram
-              FROM (
-                SELECT t.doc_id, t.nchars, t.toks, n.n AS n,
-                       unnest(range(1, len(t.toks) - n.n + 2)) AS i
-                FROM tok t CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7)) n(n)
-                WHERE len(t.toks) >= n.n)),
-            cnts AS (
-              SELECT doc_id, nchars, n, gram, count(*)::BIGINT AS cnt
-              FROM grams GROUP BY ALL),
-            aggs AS (
-              SELECT doc_id,
-                round(least(1.0, coalesce(max(CASE WHEN n=2 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_2gram_char_frac,
-                round(least(1.0, coalesce(max(CASE WHEN n=3 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_3gram_char_frac,
-                round(least(1.0, coalesce(max(CASE WHEN n=4 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_4gram_char_frac,
-                round(least(1.0, coalesce(sum(CASE WHEN n=5 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_5gram_char_frac,
-                round(least(1.0, coalesce(sum(CASE WHEN n=6 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_6gram_char_frac,
-                round(least(1.0, coalesce(sum(CASE WHEN n=7 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_7gram_char_frac
-              FROM cnts GROUP BY doc_id, nchars)
-            SELECT l.doc_id,
-              l.dup_para_frac, l.dup_para_char_frac, l.dup_line_frac, l.dup_line_char_frac,
-              coalesce(a.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
-              coalesce(a.top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
-              coalesce(a.top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
-              coalesce(a.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
-              coalesce(a.dup_6gram_char_frac, 0.0) AS dup_6gram_char_frac,
-              coalesce(a.dup_7gram_char_frac, 0.0) AS dup_7gram_char_frac,
-              (l.dup_line_frac <= 0.30 AND l.dup_para_frac <= 0.30
-               AND l.dup_line_char_frac <= 0.20 AND l.dup_para_char_frac <= 0.20
-               AND coalesce(a.top_2gram_char_frac,0.0) <= 0.20
-               AND coalesce(a.top_3gram_char_frac,0.0) <= 0.18
-               AND coalesce(a.top_4gram_char_frac,0.0) <= 0.16
-               AND coalesce(a.dup_5gram_char_frac,0.0) <= 0.15
-               AND coalesce(a.dup_6gram_char_frac,0.0) <= 0.14
-               AND coalesce(a.dup_7gram_char_frac,0.0) <= 0.13) AS keep
-            FROM lp l LEFT JOIN aggs a USING (doc_id)
-            ORDER BY l.doc_id""",
+        "gopher_repetition": _gopher_sql("documents"),
         "text_analysis": f"""
             WITH norm AS (SELECT doc_id, text, {_TOKS_LIST} AS t FROM documents),
             scored AS (
