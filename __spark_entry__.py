@@ -1099,9 +1099,9 @@ def _gopher_sql(src: str) -> str:
               FROM grams GROUP BY ALL),
             aggs AS (
               SELECT doc_id,
-                round(least(1.0, coalesce(max(CASE WHEN n=2 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_2gram_char_frac,
-                round(least(1.0, coalesce(max(CASE WHEN n=3 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_3gram_char_frac,
-                round(least(1.0, coalesce(max(CASE WHEN n=4 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS top_4gram_char_frac,
+                round(least(1.0, coalesce(max(CASE WHEN n=2 THEN cnt*length(gram) END),0)/nchars),6) AS top_2gram_char_frac,
+                round(least(1.0, coalesce(max(CASE WHEN n=3 THEN cnt*length(gram) END),0)/nchars),6) AS top_3gram_char_frac,
+                round(least(1.0, coalesce(max(CASE WHEN n=4 THEN cnt*length(gram) END),0)/nchars),6) AS top_4gram_char_frac,
                 round(least(1.0, coalesce(sum(CASE WHEN n=5 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_5gram_char_frac,
                 round(least(1.0, coalesce(sum(CASE WHEN n=6 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_6gram_char_frac,
                 round(least(1.0, coalesce(sum(CASE WHEN n=7 AND cnt>1 THEN cnt*length(gram) END),0)/nchars),6) AS dup_7gram_char_frac

@@ -193,18 +193,19 @@ def gopher_repetition(
     )
     aggs = []
     for n in top_ns:
-        # a gram seen once is not repetition (cnt>1 gate, as the
-        # public Gopher reimplementations apply it); overlapping
-        # occurrences can cover more chars than the text has -> cap
+        # top-n takes the MOST FREQUENT n-gram with no repetition
+        # requirement — the paper's definition ("fraction of characters
+        # contained in the most frequently-occurring n-gram"); a tiny
+        # doc whose single top gram covers most of its chars IS flagged
+        # (Gopher's upstream word-count filters are a separate signal,
+        # quality_score here). The cnt>1 gate applies only to dup-n,
+        # where "duplicated" requires >1 by definition. Overlapping
+        # occurrences can cover more chars than the text has -> cap.
         aggs.append(
             F.round(
                 F.least(
                     F.coalesce(
-                        F.max(
-                            F.when(
-                                (F.col("n") == n) & (F.col("cnt") > 1), F.col("chars")
-                            )
-                        ),
+                        F.max(F.when(F.col("n") == n, F.col("chars"))),
                         F.lit(0),
                     )
                     / F.col("_nchars"),

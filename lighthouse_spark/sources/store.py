@@ -329,7 +329,15 @@ class CompressedIndex:
         pfx_len = int(man.get("term_dict_pfx_len", 3))
 
         def build():
-            base = self.spark.read.parquet(f"{self.path}/{d}")
+            # pfx cast to string: partition-column type inference reads
+            # an all-digit-prefix dictionary's pfx as int, which breaks
+            # startswith() class predicates AND the union with the
+            # deltas' substring()-built string pfx. Cast keeps
+            # partition pruning (pruning evaluates deterministic
+            # predicates over partition values).
+            base = self.spark.read.parquet(f"{self.path}/{d}").withColumn(
+                "pfx", F.col("pfx").cast("string")
+            )
             extra = cur[len(folded):]
             if not extra:
                 return base
@@ -369,6 +377,29 @@ class CompressedIndex:
         id_col = self.manifest["doc_id_col"]
         postings, _ = _tri.build_trigram_index(self.docs, id_col, text_col)
         _tri.save_trigram_index(postings, f"{self.path}/{d}", id_col)
+        man = self.manifest
+        man.setdefault("dirs", {})[f"trigram_{text_col}"] = d
+        man.setdefault("trigram_for", {})[text_col] = self._docs_state()
+        man.get("trigram_deltas", {}).pop(text_col, None)
+        _commit(self.path, man)
+
+    def fold_trigram(self, text_col: str) -> None:
+        """Fold pending trigram deltas into a fresh base FROM THE LIVE
+        MASKED VIEW — a read of the existing base + churn-bounded
+        deltas, never a re-scan/re-explode of the corpus text (the
+        same no-re-tokenize contract compaction honors for postings).
+        No-op when the index is absent or invalidated."""
+        idx = self.trigram_index(text_col)
+        if idx is None:
+            return
+        from ..operators import trigram as _tri
+
+        snap = uuid.uuid4().hex[:12]
+        d = f"trigram_{text_col}_v_{snap}"
+        id_col = self.manifest["doc_id_col"]
+        _tri.save_trigram_index(
+            idx[0].select("gram", id_col), f"{self.path}/{d}", id_col
+        )
         man = self.manifest
         man.setdefault("dirs", {})[f"trigram_{text_col}"] = d
         man.setdefault("trigram_for", {})[text_col] = self._docs_state()

@@ -645,10 +645,19 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
     # bounded-growth point for the gram indexes exactly as it is for
     # postings/term_stats deltas — without this, the per-batch union
     # legs and manifest touched-id lists grow with total batches ever
-    # applied. save_trigram re-commits per column.
+    # applied. fold_trigram writes FROM THE MASKED VIEW (base read +
+    # churn-bounded deltas), honoring compact's no-re-tokenize
+    # contract; it re-commits per column.
     for col, recs in list(man.get("trigram_deltas", {}).items()):
-        if recs and cindex.trigram_index(col) is not None:
-            cindex.save_trigram(col)
+        if recs:
+            cindex.fold_trigram(col)
+    # the term_stats rewrite above invalidated any saved d=2 fuzzy
+    # dictionary (term_dict checks its base pointer) — re-save it from
+    # the just-compacted live view (a dictionary-sized scan, no
+    # tokenize) so AUTO d=2 fuzzy keeps its partition-pruned path
+    # instead of silently regressing to the length-band scan
+    if "term_dict" in man.get("dirs", {}):
+        cindex.save_term_dict(int(man.get("term_dict_pfx_len", 3)))
     man = cindex.manifest
 
     # drop delta dirs + EVERY unreferenced versioned dir (intermediate

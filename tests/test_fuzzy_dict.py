@@ -91,12 +91,21 @@ def test_fuzzy_dict_lifecycle(spark, tmp_path):
     assert "sparklihg" in live["content"][Q2]  # 1 edit from the query
     assert "sparklight" in live["content"][Q2]
 
-    # --- compaction rewrites the base dictionary → honest invalidation
+    # --- compaction rewrites the base dictionary AND re-saves the
+    # pruned dict from the compacted live view (a dictionary-sized
+    # scan) — the d=2 partition-pruned path survives compaction
     ci = sync.compact(ci)
-    assert ci.term_dict() is None
+    got = ci.term_dict()
+    assert got is not None and got[1] == 3
     post = expand.expand_fuzzy_fields(ci, ["content"], [Q2])
     assert "sparklihg" in post["content"][Q2]
     assert "sparklight" in post["content"][Q2]
+    # and a manually-stripped pointer still falls back to the band
+    ci_nod = load_index(spark, path)
+    ci_nod.manifest["dirs"].pop("term_dict")
+    assert ci_nod.term_dict() is None
+    band_post = expand.expand_fuzzy_fields(ci_nod, ["content"], [Q2])
+    assert band_post == post
 
 
 def test_term_dict_resave_different_pfx_len(spark, tmp_path):

@@ -88,12 +88,14 @@ def test_winnowing_matches_python(df):
 # ---------------------------------------------------------------------------
 
 GOPHER_SAMPLES = [
-    (1, "a b c d e f g h i j"),                 # all distinct: every signal 0
+    (1, "a b c d e f g h i j"),                 # tiny: top-n flags it (paper definition)
     (2, "x y\nx y\nz w\n\nx y\nx y\nz w"),       # dup lines AND dup paras
     (3, "spam ham " * 20),                       # saturating n-gram repetition
     (4, "one two"),                              # shorter than every dup n
     (5, ""),                                     # empty
     (6, "alpha beta gamma alpha beta gamma alpha beta delta epsilon"),
+    # long diverse doc: every signal small -> the filter keeps it
+    (7, " ".join(f"w{i:02d}token" for i in range(60))),
 ]
 
 
@@ -124,7 +126,7 @@ def _py_gopher(text: str) -> dict:
 
     for n in (2, 3, 4):
         c = counts(n)
-        top = max((cnt * len(g) for g, cnt in c.items() if cnt > 1), default=0)
+        top = max((cnt * len(g) for g, cnt in c.items()), default=0)
         out[f"top_{n}gram_char_frac"] = round(min(1.0, top / nchars), 6) if nchars else 0.0
     for n in (5, 6, 7):
         c = counts(n)
@@ -151,9 +153,11 @@ def test_gopher_filter_verdicts(spark):
         r["doc_id"]: r["keep"]
         for r in T.gopher_repetition_filter(df, "doc_id", "text").collect()
     }
-    # clean docs keep; repeated-structure docs are removed
-    assert keep[1] and keep[4] and keep[5]
-    assert not keep[2] and not keep[3]
+    # a long diverse doc and the empty doc keep; tiny docs are flagged
+    # by the paper's top-n definition (the single most frequent n-gram
+    # covers most of their chars); repeated-structure docs are removed
+    assert keep[5] and keep[7]
+    assert not keep[1] and not keep[2] and not keep[3] and not keep[4]
     # verdict is exactly the conjunction of the published thresholds
     for doc_id, text in GOPHER_SAMPLES:
         want = all(
