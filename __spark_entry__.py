@@ -325,6 +325,21 @@ def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Did you mean": ES term-suggester / Lucene DirectSpellChecker
+    frequency semantics — present terms suggest themselves, absent
+    terms the highest-df dictionary term within AUTO edit distance
+    (ties lexicographic), out-of-range terms pass through."""
+    from lighthouse_spark.operators import expand
+
+    _, idx = _doc_index(spark, sf_dir)
+    qterms = ["mergge", "sparkk", "window", "zzqqzz"]
+    got = expand.suggest_terms(idx, "text", qterms)
+    return spark.createDataFrame(
+        sorted(got.items()), "qterm string, suggestion string"
+    )
+
+
 def q_mlt_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: more-like-this term selection — top tf·idf like-terms under
     ES's default min_term_freq=2 / min_doc_freq=5 gates (query.go:106-121
@@ -882,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "span_strip": q_span_strip,
         "curation_pipeline": q_curation_pipeline,
+        "spell_suggest": q_spell_suggest,
         "mlt_terms": q_mlt_terms,
         "bool_should": q_bool_should,
         "autocomplete_prefix": q_autocomplete_prefix,
@@ -1581,6 +1597,24 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings eb ON eb.vec_id = id_b)
             SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
             WHERE c >= 0.2 ORDER BY id_a, id_b""",
+        "spell_suggest": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                     FROM tok GROUP BY 1),
+            q(qterm, d) AS (
+              SELECT * FROM (VALUES ('mergge',2),('sparkk',2),
+                                    ('window',2),('zzqqzz',2)) v(qterm, d)),
+            cand AS (
+              SELECT q.qterm, d.term, d.df
+              FROM q JOIN dict d ON levenshtein(q.qterm, d.term) <= q.d),
+            best AS (
+              SELECT qterm, term,
+                     row_number() OVER (PARTITION BY qterm
+                       ORDER BY (term = qterm) DESC, df DESC, term) AS rn
+              FROM cand)
+            SELECT q.qterm, coalesce(b.term, q.qterm) AS suggestion
+            FROM q LEFT JOIN best b ON b.qterm = q.qterm AND b.rn = 1
+            ORDER BY q.qterm""",
         "curation_pipeline": f"""
             WITH scrub AS (
               SELECT doc_id, lang, {_scrub_sql("text")} AS text FROM documents),

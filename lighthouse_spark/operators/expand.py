@@ -575,3 +575,50 @@ def mlt_terms(
     ]
     scored.sort(key=lambda x: (-x[0], x[1]))
     return [t for _, t in scored[:max_terms]]
+
+
+def suggest_terms(
+    index: InvertedIndex,
+    field: str,
+    terms: list[str],
+    max_edits: int | None = None,
+) -> dict[str, str]:
+    """"Did you mean" (ES term suggester / Lucene DirectSpellChecker
+    frequency sort): a query term present in the dictionary suggests
+    itself; an absent term suggests the HIGHEST-DF dictionary term
+    within its AUTO edit distance (popularity ranking, ties broken
+    lexicographically); no candidate -> the term unchanged. The
+    reference exposes no suggester — this rounds out the fulltext
+    surface for typo'd code-search queries.
+
+    One dictionary scan for the whole query, through the same
+    partition-pruned dict / length-band legs as expand_fuzzy_all."""
+    uniq = sorted(set(terms))
+    ds = {t: (_auto_fuzziness(t) if max_edits is None else max_edits) for t in uniq}
+    out = {t: t for t in uniq}
+    fuzzy = [t for t in uniq if ds[t] > 0]
+    if not fuzzy:
+        return out
+    band = _length_band(fuzzy, ds)
+    any_match = None
+    eds = []
+    for i, t in enumerate(fuzzy):
+        ed = F.levenshtein(F.col("term"), F.lit(t))
+        eds.append(ed.alias(f"_ed{i}"))
+        c = ed <= ds[t]
+        any_match = c if any_match is None else (any_match | c)
+    leg = _fuzzy_dict_leg(index, [field], fuzzy, ds)
+    if leg is not None:
+        cand = leg.filter(band)
+    else:
+        cand = index.term_stats.filter((F.col("field") == field) & band)
+    rows = cand.select("term", "df", *eds).filter(any_match).collect()
+    for i, t in enumerate(fuzzy):
+        hits = [(r["term"], int(r["df"])) for r in rows if r[f"_ed{i}"] <= ds[t]]
+        if not hits:
+            continue
+        if any(term == t for term, _ in hits):
+            out[t] = t
+        else:
+            out[t] = min(hits, key=lambda x: (-x[1], x[0]))[0]
+    return out

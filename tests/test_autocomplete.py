@@ -161,3 +161,32 @@ def test_autocomplete_author_field(spark, claims):
     assert res, "author-only match did not surface"
     pdf = docs.toPandas().set_index("doc_id")
     assert all(pdf.loc[r["doc_id"]]["author"] == "zebrowski films" for r in res)
+
+
+def test_suggest_terms_frequency_semantics(spark):
+    """"Did you mean": present term -> itself (even when a higher-df
+    neighbor exists); absent term -> highest-df candidate within AUTO
+    distance, ties lexicographic; out-of-range term unchanged."""
+    from lighthouse_spark.operators.expand import suggest_terms
+    from lighthouse_spark.plans.indexer import FieldSpec, build_index
+
+    rows = []
+    did = 0
+    def add(term, n_docs):
+        nonlocal did
+        for _ in range(n_docs):
+            rows.append((did, term)); did += 1
+    add("merge", 30); add("marge", 5); add("serge", 30)  # serge ties merge on df
+    add("window", 2); add("windows", 40)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(df, "doc_id", {"text": FieldSpec("text")}, mode="simple")
+
+    got = suggest_terms(idx, "text", ["mergge", "window", "zzqqzz", "marge"])
+    # absent 'mergge' (d=2): merge(30) and serge(30) tie -> lexicographic
+    assert got["mergge"] == "merge"
+    # present low-df 'window' keeps itself despite windows(40) at d=1
+    assert got["window"] == "window"
+    # present 'marge' -> itself
+    assert got["marge"] == "marge"
+    # nothing within distance -> unchanged
+    assert got["zzqqzz"] == "zzqqzz"
