@@ -206,7 +206,9 @@ def substring_search(
     return docs.join(cands, on=id_col, how="left_semi").filter(verify)
 
 
-def required_literals(pattern: str, min_len: int = 3) -> list[str]:
+def required_literals(
+    pattern: str, min_len: int = 3, drop_ignorecase: bool = False
+) -> list[str]:
     """Literal runs every match of ``pattern`` must contain.
 
     Conservative walk of the stdlib-parsed tree: only LITERALs in
@@ -215,14 +217,22 @@ def required_literals(pattern: str, min_len: int = 3) -> list[str]:
     parts, classes, and anchors flush the current run (they may
     contribute chars, but not *required* ones). Sound by construction:
     dropping a literal can only weaken the prefilter, never lose a
-    match; the rlike verify keeps exactness."""
+    match; the rlike verify keeps exactness.
+
+    With ``drop_ignorecase`` (used against case-SENSITIVE indexes), a
+    literal inside any case-insensitive scope is NOT required as-cased
+    and is dropped; the flag state is derived from the PARSED tree —
+    global ``tree.state.flags`` plus per-SUBPATTERN add/del flags — so
+    multi-letter flag groups like ``(?si)`` / scoped ``(?i:...)`` /
+    ``(?-i:...)`` are all honored (ADVICE r4: the old literal
+    ``"(?i" in pattern`` check missed ``(?si)``)."""
     try:
         tree = _sre.parse(pattern)
     except re.error:
         return []
     runs: list[str] = []
 
-    def walk(seq) -> None:
+    def walk(seq, ci: bool) -> None:
         run: list[str] = []
 
         def flush() -> None:
@@ -234,20 +244,27 @@ def required_literals(pattern: str, min_len: int = 3) -> list[str]:
         for op, av in seq:
             name = str(op)
             if name == "LITERAL":
-                run.append(chr(av))
+                if ci and drop_ignorecase:
+                    flush()  # char may match either case: splits the run
+                else:
+                    run.append(chr(av))
             elif name == "SUBPATTERN":
                 flush()
-                walk(av[3])
+                _grp, add, rem, sub = av
+                child_ci = (ci or bool(add & re.IGNORECASE)) and not bool(
+                    rem & re.IGNORECASE
+                )
+                walk(sub, child_ci)
             elif name in ("MAX_REPEAT", "MIN_REPEAT"):
                 flush()
                 lo, _hi, sub = av
                 if lo >= 1:
-                    walk(sub)
+                    walk(sub, ci)
             else:
                 flush()
         flush()
 
-    walk(tree)
+    walk(tree, bool(tree.state.flags & re.IGNORECASE))
     return runs
 
 
@@ -270,12 +287,17 @@ def regex_search(
     Case soundness: with ``lowercase=True`` (default) literals are
     case-folded by query_grams, so ``(?i)`` patterns prefilter
     correctly against the lowered index. With a case-SENSITIVE index,
-    an ``(?i)`` literal's grams are not required as-cased — skip the
-    prefilter rather than risk a false provably-empty."""
+    a literal inside ANY case-insensitive scope is not required
+    as-cased — required_literals(drop_ignorecase=True) derives the
+    scope from the parsed flag state (global flags + SUBPATTERN
+    add/del), so ``(?si)`` / ``(?i:...)`` can't evade it; literals in
+    case-sensitive scopes still prefilter."""
     verify = _lowered(docs, text_col, lowercase).rlike(pattern)
-    lits = [l for l in required_literals(pattern) if len(l) >= 3]
-    if not lowercase and "(?i" in pattern:
-        lits = []
+    lits = [
+        l
+        for l in required_literals(pattern, drop_ignorecase=not lowercase)
+        if len(l) >= 3
+    ]
     if index is None or not lits:
         return docs.filter(verify)
     grams = sorted({g for l in lits for g in query_grams(l, lowercase)})

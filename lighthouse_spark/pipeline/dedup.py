@@ -593,12 +593,22 @@ def _dup_windows(
     return stats, dup
 
 
-def _pin(df: DataFrame) -> DataFrame:
+def _pin(df: DataFrame, reliable: bool = False) -> DataFrame:
     """Reuse point for a multi-consumer intermediate: a LAZY local
     checkpoint rather than persist() — CacheManager entries from
     persist() outlive the result and leak across repeated operator
     calls, while checkpoint blocks are released by the ContextCleaner
-    once the returned frame is garbage collected."""
+    once the returned frame is garbage collected.
+
+    FAILURE MODE (ADVICE r4): a local checkpoint is non-replicated AND
+    non-recomputable — losing any executor mid-job fails the whole run
+    unrecoverably. Acceptable for short/interactive jobs; for long
+    100 TB-scale runs pass ``reliable=True`` to write a fault-tolerant
+    reliable checkpoint instead (requires
+    ``spark.sparkContext.setCheckpointDir`` pointing at shared
+    storage — HDFS/S3 on a cluster)."""
+    if reliable:
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
 
 
@@ -609,6 +619,7 @@ def duplicated_span_coverage(
     k: int = 8,
     min_docs: int = 2,
     cache: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Per-document contamination accounting over duplicated spans:
     (id, n_tokens, n_dup_windows, covered_frac) where covered_frac is
@@ -621,14 +632,15 @@ def duplicated_span_coverage(
     bounded by k x duplicated windows, not the corpus. The tokenized
     frame and the duplicated-window set are each consumed twice, so
     both are pinned via lazy local checkpoints (cache=False opts
-    out)."""
+    out; reliable=True swaps in fault-tolerant checkpoints for
+    executor-loss-safe long runs — see _pin)."""
     tokd = _tokenized(docs, id_col, text_col)
     if cache:
-        tokd = _pin(tokd)
+        tokd = _pin(tokd, reliable)
     wins = _windows_of(tokd, id_col, k)
     _, dup = _dup_windows(wins, id_col, min_docs)
     if cache:
-        dup = _pin(dup)
+        dup = _pin(dup, reliable)
     base = tokd.select(F.col(id_col), F.size("_toks").alias("n_tokens"))
     per_doc = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows"))
     covered = (
@@ -661,6 +673,7 @@ def strip_duplicated_spans(
     k: int = 8,
     min_docs: int = 2,
     cache: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Span-removal pass (the second half of Lee et al. 2021): for each
     cross-document duplicated k-gram keep its GLOBAL first occurrence
@@ -679,14 +692,16 @@ def strip_duplicated_spans(
     surviving tokens inside one collected array. No all-pairs, no
     driver-side text. The tokenized frame feeds three consumers and
     the duplicated-window set two, so both are pinned via lazy local
-    checkpoints (cache=False opts out)."""
+    checkpoints (cache=False opts out; reliable=True swaps in
+    fault-tolerant checkpoints for executor-loss-safe long runs —
+    see _pin)."""
     tokd = _tokenized(docs, id_col, text_col)
     if cache:
-        tokd = _pin(tokd)
+        tokd = _pin(tokd, reliable)
     wins = _windows_of(tokd, id_col, k)
     _, dup = _dup_windows(wins, id_col, min_docs)
     if cache:
-        dup = _pin(dup)
+        dup = _pin(dup, reliable)
     first = dup.groupBy("gram").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("f")
     )

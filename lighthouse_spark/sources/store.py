@@ -430,13 +430,35 @@ class CompressedIndex:
         id_col = man["doc_id_col"]
 
         def build():
-            from .sync import _filter_ids  # lazy: sync imports store
+            from .sync import _ids_frame  # lazy: sync imports store
 
-            def mask(fr, ids):
-                if not ids:
+            def touched_frame(r):
+                """Per-batch touched-id set as a (small, churn-bounded)
+                DataFrame: a parquet SIDECAR referenced by snap
+                (ADVICE r4 — the manifest JSON never carries the ids),
+                or the legacy inline list for old manifests."""
+                if r.get("touched_ref"):
+                    return self.spark.read.parquet(
+                        f"{self.path}/touched_ids/{r['touched_ref']}"
+                    )
+                ids = [int(i) for i in r.get("touched", [])]
+                return _ids_frame(ids, self.spark) if ids else None
+
+            def mask(fr, frames):
+                """Drop rows whose id is in any of ``frames`` via ONE
+                broadcast anti-join — the ids never materialize on the
+                driver, so a million-id catch-up batch costs a small
+                broadcast, not driver memory + plan literals."""
+                frames = [f for f in frames if f is not None]
+                if not frames:
                     return fr
-                return _filter_ids(
-                    fr, F.col(id_col), sorted(ids), self.spark, keep=False
+                u = frames[0]
+                for f in frames[1:]:
+                    u = u.unionByName(f)
+                return fr.join(
+                    F.broadcast(u.distinct()),
+                    F.col(id_col) == F.col("_fid"),
+                    "left_anti",
                 )
 
             # pfx cast to string: partition-column type inference makes
@@ -446,18 +468,15 @@ class CompressedIndex:
             # evaluates deterministic predicates over partition values.
             cols = ["gram", id_col, F.col("pfx").cast("string").alias("pfx")]
             base = self.spark.read.parquet(f"{self.path}/{d}/postings").select(*cols)
-            touched = [set(r["touched"]) for r in recs]
-            legs = [mask(base, set().union(*touched) if touched else set())]
+            touched = [touched_frame(r) for r in recs]
+            legs = [mask(base, touched)]
             for i, r in enumerate(recs):
                 if not r.get("has_rows"):
                     continue
                 fr = self.spark.read.parquet(
                     f"{self.path}/trigram_delta/{text_col}/{r['snap']}"
                 ).select(*cols)
-                later = (
-                    set().union(*touched[i + 1 :]) if touched[i + 1 :] else set()
-                )
-                legs.append(mask(fr, later))
+                legs.append(mask(fr, touched[i + 1 :]))
             post = legs[0]
             for leg in legs[1:]:
                 post = post.unionByName(leg)

@@ -461,12 +461,21 @@ def apply_incremental(
         man["deltas"] = man.get("deltas", []) + [snap]
     if wrote_ts:
         man["ts_deltas"] = man.get("ts_deltas", []) + [snap]
+    if tri_cols:
+        # touched-id SIDECAR (ADVICE r4): one parquet per batch, shared
+        # by every trigram column, referenced from the manifest by snap
+        # — the manifest JSON stays O(#batches) regardless of churn
+        # (inlining the id list made every later commit/read linear in
+        # total churned ids, and a catch-up batch bloated one document)
+        _ids_frame(sorted({int(i) for i in aff_ids}), spark).write.mode(
+            "overwrite"
+        ).parquet(f"{cindex.path}/touched_ids/{snap}")
     for col in tri_cols:
         recs = man.setdefault("trigram_deltas", {}).setdefault(col, [])
         recs.append(
             {
                 "snap": snap,
-                "touched": [int(i) for i in aff_ids],
+                "touched_ref": snap,
                 "has_rows": upserts is not None,
             }
         )
@@ -695,6 +704,18 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
             for s in os.listdir(cp):
                 if (col, s) not in live:
                     shutil.rmtree(f"{cp}/{s}", ignore_errors=True)
+    # touched-id sidecars: orphaned once fold_trigram drops the delta
+    # records that referenced them
+    tid_root = f"{cindex.path}/touched_ids"
+    if os.path.exists(tid_root):
+        live_refs = {
+            r.get("touched_ref")
+            for recs in man.get("trigram_deltas", {}).values()
+            for r in recs
+        }
+        for s in os.listdir(tid_root):
+            if s not in live_refs:
+                shutil.rmtree(f"{tid_root}/{s}", ignore_errors=True)
     cindex.manifest = man
     return cindex
 

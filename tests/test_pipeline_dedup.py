@@ -222,3 +222,32 @@ def test_strip_duplicated_spans_keep_first_global(spark):
     assert got[3][2] == 0
     # doc 4: both occurrences are non-first -> everything goes
     assert got[4] == ("", 16, 16)
+
+
+def test_span_ops_reliable_checkpoint_parity(spark, tmp_path):
+    """ADVICE r4: reliable=True pins intermediates with fault-tolerant
+    checkpoints (executor-loss-safe for long runs) instead of
+    non-recomputable local checkpoints — results must be identical."""
+    from lighthouse_spark.pipeline.dedup import (
+        duplicated_span_coverage,
+        strip_duplicated_spans,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "xxx alpha beta gamma delta epsilon zeta eta theta yyy"),
+        (3, "totally different words here none shared at all with others ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    old = spark.sparkContext._jsc.sc().getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        for fn in (strip_duplicated_spans, duplicated_span_coverage):
+            a = sorted(map(tuple, fn(df, "doc_id", "text", k=8).collect()))
+            b = sorted(
+                map(tuple, fn(df, "doc_id", "text", k=8, reliable=True).collect())
+            )
+            assert a == b
+    finally:
+        if old.isDefined():
+            spark.sparkContext.setCheckpointDir(old.get())

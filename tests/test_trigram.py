@@ -203,9 +203,48 @@ def test_store_lifecycle_incremental_maintenance(spark, tmp_path):
         os.listdir(f"{tri_root}/{c}") == [] for c in os.listdir(tri_root)
     )
 
+    # touched-id sidecars (ADVICE r4): the manifest never inlines the
+    # churned id list — records carry a snap-keyed parquet reference —
+    # and compaction swept the orphaned sidecars along with the deltas
+    for recs in ci.manifest.get("trigram_deltas", {}).values():
+        for r in recs:
+            assert "touched" not in r and r.get("touched_ref")
+    tid_root = f"{path}/touched_ids"
+    assert (not os.path.exists(tid_root)) or os.listdir(tid_root) == []
+
     # an out-of-band docs rewrite (no incremental path) invalidates
     ci.manifest["trigram_for"]["content"]["docs"] = "docs_v_someone_else"
     assert ci.trigram_index("content") is None
+
+
+def test_touched_sidecar_written_and_legacy_inline_readable(spark, tmp_path):
+    """New batches write the touched-id sidecar once per snap (shared
+    by all trigram columns, manifest O(#batches)); a LEGACY manifest
+    whose records still inline "touched" lists keeps serving
+    correctly."""
+    docs = synthetic_corpus(spark, 60)
+    path = str(tmp_path / "idx")
+    ci = build_and_save(docs, "doc_id", {"content": "content"}, path,
+                        mode="code", n_shards=2)
+    ci.save_trigram("content")
+    row0 = docs.orderBy("doc_id").limit(1).collect()[0]
+    upd = ci.docs.orderBy("doc_id").limit(1).withColumn(
+        "content", F.concat(F.lit("sidecar_marker_xyz "), F.col("content"))
+    )
+    ci = sync.apply_incremental(ci, upserts=upd)
+    recs = ci.manifest["trigram_deltas"]["content"]
+    assert recs and all(r.get("touched_ref") and "touched" not in r for r in recs)
+    import os
+
+    assert os.path.exists(f"{path}/touched_ids/{recs[0]['touched_ref']}")
+    assert _parity(ci, "sidecar_marker_xyz") == [row0["doc_id"]]
+
+    # legacy form: rewrite the record to the inline list (what r4
+    # manifests contain) — same masked view, same results
+    recs[0].pop("touched_ref")
+    recs[0]["touched"] = [int(row0["doc_id"])]
+    ci._df_handles = None  # drop the cached view built from the new form
+    assert _parity(ci, "sidecar_marker_xyz") == [row0["doc_id"]]
 
 
 def test_engine_contains_uses_trigram(spark):
@@ -263,6 +302,36 @@ def test_regex_case_sensitive_index_skips_prefilter(spark):
         )
     )
     assert got == [1]
+
+
+def test_regex_multiflag_and_scoped_ignorecase(spark):
+    """ADVICE r4: ignore-case must be derived from the PARSED flag
+    state, not the literal substring "(?i" — multi-letter groups
+    ((?si)), scoped groups ((?i:...)), and re-enabling ((?-i:...))
+    all have to behave on a case-SENSITIVE index."""
+    rows = [(1, "Hello World Example"), (2, "nothing here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    tri_cs = trigram.build_trigram_index(df, "doc_id", "text", lowercase=False)
+
+    def run(pat):
+        return _ids(
+            trigram.regex_search(df, "doc_id", "text", pat, tri_cs, lowercase=False)
+        )
+
+    # (?si): the old "(?i" substring check missed this — the as-cased
+    # gram prefilter for "hello world" would wrongly drop doc 1
+    assert run("(?si)hello world") == [1]
+    # scoped (?i:...): literal inside the scope is not required as-cased
+    assert run("(?i:hello) World") == [1]
+    # case-sensitive scope inside (?i): the inner literal IS required
+    # as-cased and may prefilter — exactness vs the verify scan
+    assert run("(?i:xx)?(?-i:Hello) World") == [1]
+    assert run("(?-i:hello) World") == []  # as-cased literal truly absent
+    # and the drop is precise: the case-sensitive literal of a mixed
+    # pattern still yields a prefilter literal
+    lits = trigram.required_literals("(?i:foo)Barbaz", drop_ignorecase=True)
+    assert "Barbaz" in lits and all("foo" not in l.lower() or l == "Barbaz" for l in lits)
+    assert trigram.required_literals("(?si)foobar", drop_ignorecase=True) == []
 
 
 def test_short_and_null_texts_produce_no_junk_postings(spark):
