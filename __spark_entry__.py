@@ -720,6 +720,12 @@ def q_autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COMPOSITE_NOW = 1767225600.0  # 2026-01-01T00:00:00Z
 _COMPOSITE_Q = "order value"        # phrase-active (a real name bigram)
+# MIME spread for the derived claims' content_type (index = doc_id % 7);
+# families cover P4's prefixes plus both CAD special types (P4 cad leg)
+_CLAIMS_MIMES = [
+    "video/mp4", "audio/mpeg", "text/plain", "application/json",
+    "image/png", "SKP", "simplify3d_stl",
+]
 _COMPOSITE_MLT_Q = "spark data spark"  # repeated term → MLT-active
 # derived claims columns: deterministic pure functions of (doc_id,
 # text, source) that BOTH engines compute bit-identically
@@ -761,12 +767,29 @@ def _claims_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1735689600.0) + (d * 97 % 34560000)).alias("release_time"),
         F.when(d % 4 == 0, 0.0).otherwise(1.5).alias("fee"),
         (d % 11 == 0).alias("nsfw"),
+        # filter-matrix attributes (P3-P6/P8/P9): a deterministic MIME
+        # spread covering every media family incl. the cad specials,
+        # tag arrays that can flag a doc nsfw independently of the
+        # boolean, and channel/claim ids — all doc_id arithmetic,
+        # mirrored verbatim in the DuckDB oracle
+        F.element_at(
+            F.array(*[F.lit(m) for m in _CLAIMS_MIMES]), (d % 7 + 1).cast("int")
+        ).alias("content_type"),
+        F.when(d % 13 == 0, F.array(F.lit("porn"), F.lit("music")))
+        .otherwise(F.array(F.lit("music")))
+        .alias("tags"),
+        F.concat(F.lit("ch"), (d % 5).cast("string")).alias("channel_claim_id"),
+        F.concat(F.lit("cl"), d.cast("string")).alias("claim_id"),
     )
 
 
-def _composite(spark: SparkSession, sf_dir: str, s: str) -> DataFrame:
+def _composite(
+    spark: SparkSession, sf_dir: str, s: str, req_kwargs: dict | None = None
+) -> DataFrame:
     """Run the REAL engine.search() — the full 11-clause function_score
-    tree (query.go:21-71) — over the derived claims table."""
+    tree (query.go:21-71) — over the derived claims table.
+    ``req_kwargs`` forwards filter params (nsfw/media_type/free_only/
+    claim_type/channel_id/content_type/...) into the SearchRequest."""
     from lighthouse_spark.api.engine import SearchEngine
     from lighthouse_spark.api.request import SearchRequest
 
@@ -781,7 +804,9 @@ def _composite(spark: SparkSession, sf_dir: str, s: str) -> DataFrame:
         mode="simple",
     )
     eng = SearchEngine(idx, now_seconds=_COMPOSITE_NOW)
-    out = eng.search(SearchRequest(s=s, size=25), round_score=ROUND)
+    out = eng.search(
+        SearchRequest(s=s, size=25, **(req_kwargs or {})), round_score=ROUND
+    )
     return out.select("doc_id", "score")
 
 
@@ -796,6 +821,34 @@ def q_composite_search_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same tree with a repeated query term, so the more_like_this leg
     (min_term_freq=2) actively selects terms (query.go:106-121)."""
     return _composite(spark, sf_dir, _COMPOSITE_MLT_Q)
+
+
+# filter-matrix configs (VERDICT r4 next #4): the P3-P6/P9 families
+# swept THROUGH SearchEngine.search against the full-scoring oracle.
+_FILTER_MEDIA = dict(nsfw=False, media_type="video,cad", free_only=True)
+_FILTER_TYPED = dict(
+    nsfw=True,
+    claim_type="file",
+    channel_id="ch2",
+    content_type="text/plain,application/json",
+)
+
+
+def q_composite_filtered_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5+P6 through the real engine: media_type family prefixes
+    with the cad special-case (query.go:326-331), NSFW-exclude as the
+    tag-array ∪ boolean-flag union (query.go:366-376), and the
+    free-content fee gate (query.go:378-384) — all under the full
+    function_score tree."""
+    return _composite(spark, sf_dir, _COMPOSITE_Q, _FILTER_MEDIA)
+
+
+def q_composite_filtered_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P5(keep-side)+P8+P9 through the real engine: content_type
+    exact IN-list, NSFW-only (nsfw=True keeps flagged docs), the
+    claim_type param map file->stream (query.go:336-345), and the
+    channel-claim-id equality filter."""
+    return _composite(spark, sf_dir, _COMPOSITE_Q, _FILTER_TYPED)
 
 
 def q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete_prefix": q_autocomplete_prefix,
         "composite_search": q_composite_search,
         "composite_search_mlt": q_composite_search_mlt,
+        "composite_filtered_media": q_composite_filtered_media,
+        "composite_filtered_typed": q_composite_filtered_typed,
         # scoring / boosts
         "function_score": q_function_score,
         "gauss_decay": q_gauss_decay,
@@ -1164,7 +1219,7 @@ def _pii_oracle_sql() -> str:
     )
 
 
-def _composite_oracle_sql(s: str, k: int = 25) -> str:
+def _composite_oracle_sql(s: str, k: int = 25, extra_where: str = "") -> str:
     """DuckDB program reproducing engine.search() end-to-end for query
     ``s`` on the derived claims table: per-field BM25 stats, fuzzy-AUTO
     expansion (levenshtein ≤ d, (ed, term)-ranked, ≤50/term), MLT
@@ -1312,7 +1367,13 @@ cl AS (
     (doc_id * 13 % 10000)::DOUBLE AS view_cnt,
     (doc_id * 7 % 3000)::DOUBLE AS sub_cnt,
     (doc_id % 40) AS claim_cnt,
-    (1735689600.0 + (doc_id * 97 % 34560000)) AS release_time
+    (1735689600.0 + (doc_id * 97 % 34560000)) AS release_time,
+    CASE WHEN doc_id % 4 = 0 THEN 0.0 ELSE 1.5 END AS fee,
+    (doc_id % 11 = 0) AS nsfw,
+    list_extract({_CLAIMS_MIMES!r}, (doc_id % 7 + 1)::INT) AS content_type,
+    CASE WHEN doc_id % 13 = 0 THEN ['porn', 'music']
+         ELSE ['music'] END AS tags,
+    'ch' || (doc_id % 5)::VARCHAR AS channel_claim_id
   FROM base),
 {stats}
 u AS ({" UNION ALL ".join(clauses)}),
@@ -1329,8 +1390,23 @@ SELECT qsum.doc_id AS doc_id,
                  THEN 2.0 ELSE 0.0 END)
          + {" + ".join(gauss)}, {ROUND}) AS score
 FROM qsum JOIN cl ON cl.doc_id = qsum.doc_id
-WHERE cl.bid_state <> 'Expired'
+WHERE cl.bid_state <> 'Expired'{extra_where}
 ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+_NSFW_TAGS_SQL = "['nsfw', 'porn', 'mature', 'xxx']"
+_FILTER_MEDIA_WHERE = (
+    "\n  AND NOT (cl.nsfw OR list_has_any(cl.tags, " + _NSFW_TAGS_SQL + "))"
+    "\n  AND (cl.content_type LIKE 'video/%'"
+    " OR cl.content_type IN ('SKP', 'simplify3d_stl'))"
+    "\n  AND cl.fee = 0.0"
+)
+_FILTER_TYPED_WHERE = (
+    "\n  AND (cl.nsfw OR list_has_any(cl.tags, " + _NSFW_TAGS_SQL + "))"
+    "\n  AND cl.content_type IN ('text/plain', 'application/json')"
+    "\n  AND cl.claim_type = 'stream'"
+    "\n  AND cl.channel_claim_id = 'ch2'"
+)
 
 
 def _simhash_oracle_sql(bits: int, max_h: int, id_filter: str) -> str:
@@ -1504,6 +1580,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "composite_search": _composite_oracle_sql(_COMPOSITE_Q),
         "composite_search_mlt": _composite_oracle_sql(_COMPOSITE_MLT_Q),
+        "composite_filtered_media": _composite_oracle_sql(
+            _COMPOSITE_Q, extra_where=_FILTER_MEDIA_WHERE
+        ),
+        "composite_filtered_typed": _composite_oracle_sql(
+            _COMPOSITE_Q, extra_where=_FILTER_TYPED_WHERE
+        ),
         "decontaminate": f"""
             WITH norm AS (SELECT doc_id, {_TOKS_LIST} AS t FROM documents),
             csh AS (SELECT doc_id, {_SHINGLE5} AS sh FROM norm WHERE doc_id >= 15),
