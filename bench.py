@@ -40,6 +40,19 @@ def main() -> None:
     extra: dict[str, float] = {}
     t_total = time.time()
 
+
+    def best2(fn) -> float:
+        """Steady-state serving latency: best of 2 timed runs (the
+        same methodology the bm25 keys use — run 2 hits the per-epoch
+        dictionary/plan caches, so a warm query measures the kernel,
+        not first-run planning jitter)."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
 
@@ -92,9 +105,8 @@ def main() -> None:
         )
         flat.postings.persist().count()
         search.phrase(flat, "text", ["big", "data"]).orderBy("doc_id").limit(10).collect()
-        t0 = time.time()
-        search.phrase(flat, "text", ["big", "data"]).orderBy("doc_id").limit(10).collect()
-        timings["phrase"] = round(time.time() - t0, 3)
+        timings["phrase"] = round(best2(lambda: search.phrase(
+            flat, "text", ["big", "data"]).orderBy("doc_id").limit(10).collect()), 3)
 
         # ---- composite /search engine (claims corpus) ----
         from lighthouse_spark.api.engine import SearchEngine
@@ -110,18 +122,16 @@ def main() -> None:
         cidx_flat.postings.count()
         eng = SearchEngine(cidx_flat)
         eng.search(SearchRequest(s="warmup query", size=5)).collect()
-        t0 = time.time()
-        eng.search(SearchRequest(s="interesting and amazing facts", size=10)).collect()
-        timings["composite_search"] = round(time.time() - t0, 3)
+        timings["composite_search"] = round(best2(lambda: eng.search(
+            SearchRequest(s="interesting and amazing facts", size=10)).collect()), 3)
 
         # ---- autocomplete (fused <=50-expansion plan) ----
         from lighthouse_spark.api.autocomplete import autocomplete
         from lighthouse_spark.api.request import AutoCompleteRequest
 
         autocomplete(cidx_flat, AutoCompleteRequest(s="warm up", size=5)).collect()
-        t0 = time.time()
-        autocomplete(cidx_flat, AutoCompleteRequest(s="interesting am", size=10)).collect()
-        timings["autocomplete"] = round(time.time() - t0, 3)
+        timings["autocomplete"] = round(best2(lambda: autocomplete(
+            cidx_flat, AutoCompleteRequest(s="interesting am", size=10)).collect()), 3)
 
         # ---- substring search via the trigram index (Q6 scale path;
         # new in r4 — totals are not 1:1 comparable to r3, per-query
@@ -133,9 +143,8 @@ def main() -> None:
         tri[1].count(); tri[0].count()
         needle = "fast merge"
         tri_mod.substring_search(docs, "doc_id", "text", needle, tri).count()
-        t0 = time.time()
-        tri_mod.substring_search(docs, "doc_id", "text", needle, tri).count()
-        timings["substring_trigram"] = round(time.time() - t0, 3)
+        timings["substring_trigram"] = round(best2(lambda: tri_mod.substring_search(
+            docs, "doc_id", "text", needle, tri).count()), 3)
         t0 = time.time()
         tri_mod.substring_search(docs, "doc_id", "text", needle, None).count()
         extra["substring_fullscan_sec"] = round(time.time() - t0, 3)
@@ -163,6 +172,87 @@ def main() -> None:
             t0 = time.time()
             entry.queries()[name](spark, sf_dir).collect()
             timings[name] = round(time.time() - t0, 3)
+
+        # ---- 200k-doc query tier (VERDICT r4 next #3): the sf0.1
+        # queries above run against ~5k docs, so they measure dispatch
+        # floor; this tier re-times the same query families where the
+        # scan/kernel actually dominates, making query-path
+        # regressions visible above the ±30% VM noise. Sizes:
+        # 200k-doc code corpus (bm25/phrase/trigram), 200k-claim
+        # corpus (composite/autocomplete). ----
+        big_n = int(os.environ.get("SPARK_GRAFT_BIG_TIER", "200000"))
+        if big_n:
+            from lighthouse_spark.operators import wand as wand_mod
+            from lighthouse_spark.sources.corpus import synthetic_corpus
+
+            big = synthetic_corpus(spark, big_n, partitions=4 * cpus).cache()
+            big.count()
+            t0 = time.time()
+            ci2 = build_and_save(
+                big, "doc_id", {"content": FieldSpec("content", positions=True)},
+                f"{workdir}/idx200k", mode="code", n_shards=2 * cpus,
+            )
+            build2 = time.time() - t0
+            timings["index_build_200k"] = round(build2, 3)
+            extra["index_docs_per_sec_200k"] = round(big_n / build2, 1)
+            wand_mod.wand_topk(ci2, "content", ["warm"], k=10).collect()
+            lat2 = []
+            for name, q in {
+                "bm25_common_200k": "the return license",
+                "bm25_mixed_200k": "getUserName parseHttpRequest",
+                "bm25_rare_200k": "sym7 sym42 merge",
+            }.items():
+                terms = tokenize_text(q, "code")
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    wand_mod.wand_topk(ci2, "content", terms, k=10).collect()
+                    best = min(best, time.time() - t0)
+                timings[name] = round(best, 3)
+                lat2.append(best)
+            extra["bm25_p50_200k_sec"] = round(statistics.median(lat2), 3)
+
+            flat2 = build_index(
+                big, "doc_id", {"content": FieldSpec("content", positions=True)},
+                "code", cache_agg=True,
+            )
+            flat2.postings.persist().count()
+            search.phrase(flat2, "content", ["public", "static"]).orderBy(
+                "doc_id"
+            ).limit(10).collect()
+            timings["phrase_200k"] = round(best2(lambda: search.phrase(
+                flat2, "content", ["public", "static"]).orderBy(
+                "doc_id").limit(10).collect()), 3)
+            flat2.postings.unpersist()
+
+            tri2 = tri_mod.build_trigram_index(big, "doc_id", "content")
+            tri2 = (tri2[0].persist(), tri2[1].persist())
+            tri2[1].count(); tri2[0].count()
+            tri_mod.substring_search(big, "doc_id", "content", "license", tri2).count()
+            timings["substring_trigram_200k"] = round(best2(lambda: tri_mod.substring_search(
+                big, "doc_id", "content", "getusername", tri2).count()), 3)
+            t0 = time.time()
+            tri_mod.substring_search(big, "doc_id", "content", "getusername", None).count()
+            extra["substring_fullscan_200k_sec"] = round(time.time() - t0, 3)
+            tri2[0].unpersist(); tri2[1].unpersist()
+            big.unpersist()
+
+            claims2 = synthetic_claims(spark, big_n).cache()
+            cidx2 = build_index(
+                claims2, "doc_id",
+                {k: FieldSpec(k, positions=True)
+                 for k in ("name", "title", "description", "channel")},
+                "simple",
+            ).cache()
+            cidx2.postings.count()
+            eng2 = SearchEngine(cidx2)
+            eng2.search(SearchRequest(s="warmup query", size=5)).collect()
+            timings["composite_200k"] = round(best2(lambda: eng2.search(
+                SearchRequest(s="interesting and amazing facts", size=10)).collect()), 3)
+            autocomplete(cidx2, AutoCompleteRequest(s="warm up", size=5)).collect()
+            timings["autocomplete_200k"] = round(best2(lambda: autocomplete(
+                cidx2, AutoCompleteRequest(s="interesting am", size=10)).collect()), 3)
+            claims2.unpersist()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()

@@ -180,6 +180,35 @@ def _intersect_grams(postings: DataFrame, id_col: str, chosen: list[str]) -> Dat
     )
 
 
+# Candidate-id fetch threshold: up to this many candidate ids are
+# collected and pushed into the docs scan as a doc-id IN filter —
+# parquet then prunes ROW GROUPS by id min/max stats (big IO skip when
+# the docs layout is id-sorted/bucketed, as the store's is), where a
+# semi-join would still read+parse the whole text column and only save
+# the contains() evaluation. Above the cap, plan literals bloat
+# (_ISIN_MAX rationale) and a selective fetch wouldn't prune much
+# anyway — fall back to the semi-join. This mirrors Zoekt/Code Search:
+# the gram index yields a FILE LIST and only those files are read.
+_FETCH_IDS_MAX = 10_000
+
+
+def _verified(
+    docs: DataFrame, id_col: str, cands: DataFrame, verify, fetch_ids_max: int
+) -> DataFrame:
+    """Exact-verify the candidate superset. Small candidate sets are
+    collected (bounded by ``fetch_ids_max``) and pushed into the docs
+    scan as an IN filter — candidate-driven doc FETCH with row-group
+    pruning; large ones verify via semi-join."""
+    if fetch_ids_max:
+        probe = cands.limit(fetch_ids_max + 1).collect()
+        if len(probe) <= fetch_ids_max:
+            if not probe:
+                return docs.filter(F.lit(False))
+            ids = sorted(r[0] for r in probe)
+            return docs.filter(F.col(id_col).isin(ids)).filter(verify)
+    return docs.join(cands, on=id_col, how="left_semi").filter(verify)
+
+
 def substring_search(
     docs: DataFrame,
     id_col: str,
@@ -188,11 +217,15 @@ def substring_search(
     index: tuple[DataFrame, DataFrame] | None = None,
     k_rarest: int = 3,
     lowercase: bool = True,
+    fetch_ids_max: int = _FETCH_IDS_MAX,
 ) -> DataFrame:
     """All doc rows whose text contains ``needle`` (case-folded by
     default). With an index: candidate-pruned scan + exact verify —
     identical results to the full scan, which is the documented
-    fallback for short needles / no index."""
+    fallback for short needles / no index. Verification fetches the
+    candidate docs by id when the candidate set is small (pushed-down
+    IN filter -> row-group pruning on an id-sorted docs layout; set
+    ``fetch_ids_max=0`` to force the semi-join)."""
     verify = _lowered(docs, text_col, lowercase).contains(
         needle.lower() if lowercase else needle
     )
@@ -203,7 +236,7 @@ def substring_search(
     )
     if cands is None:
         return docs.filter(F.lit(False))
-    return docs.join(cands, on=id_col, how="left_semi").filter(verify)
+    return _verified(docs, id_col, cands, verify, fetch_ids_max)
 
 
 def required_literals(
@@ -276,6 +309,7 @@ def regex_search(
     index: tuple[DataFrame, DataFrame] | None = None,
     k_rarest: int = 3,
     lowercase: bool = True,
+    fetch_ids_max: int = _FETCH_IDS_MAX,
 ) -> DataFrame:
     """All doc rows whose text matches ``pattern`` (unanchored
     ``rlike`` semantics, against the case-folded text by default).
@@ -305,7 +339,7 @@ def regex_search(
     if chosen is None:
         return docs.filter(F.lit(False))
     cands = _intersect_grams(index[0], id_col, chosen)
-    return docs.join(cands, on=id_col, how="left_semi").filter(verify)
+    return _verified(docs, id_col, cands, verify, fetch_ids_max)
 
 
 def save_trigram_index(

@@ -60,6 +60,58 @@ def test_service_search_cached(service):
     assert service.cache.hits >= 1
 
 
+def test_search_many_equals_serial(service):
+    """Concurrent serving (VERDICT r4 next #5): N driver threads over
+    one session return positionally identical results to the serial
+    loop, and the single-flight cache computes a duplicated request
+    once."""
+    reqs = [
+        SearchRequest(s="interesting facts", size=5),
+        SearchRequest(s="crypto news", size=5),
+        SearchRequest(s="amazing stories", size=5),
+        SearchRequest(s="interesting facts", size=5),  # duplicate key
+        SearchRequest(s="music video", size=5, nsfw=False),
+        SearchRequest(s="daily podcast", size=5),
+    ]
+    fresh = SearchService(service.engine)  # empty cache
+    serial = [
+        [r.asDict() for r in fresh.engine.search(q).collect()] for q in reqs
+    ]
+    got = fresh.search_many(reqs, max_workers=4)
+    assert got == serial
+    # 6 requests, 5 distinct keys: single-flight + cache -> <=5 computes
+    assert fresh.cache.misses <= 5
+
+
+def test_query_cache_single_flight_threads():
+    """Concurrent misses of one key run ONE compute; followers get the
+    leader's value."""
+    import threading
+
+    c = QueryCache()
+    calls = []
+    gate = threading.Event()
+
+    def compute():
+        calls.append(1)
+        gate.wait(1.0)
+        return "v"
+
+    outs = []
+    ts = [
+        threading.Thread(target=lambda: outs.append(c.fetch("k", compute)))
+        for _ in range(6)
+    ]
+    for t in ts:
+        t.start()
+    time.sleep(0.1)
+    gate.set()
+    for t in ts:
+        t.join()
+    assert outs == ["v"] * 6
+    assert len(calls) == 1 and c.misses == 1 and c.hits == 5
+
+
 def test_service_autocomplete(service):
     names = service.autocomplete(AutoCompleteRequest(s="cr", size=5))
     assert isinstance(names, list)

@@ -87,6 +87,34 @@ def test_regex_parity(docs, tri, needles):
     assert len(_ids(trigram.regex_search(docs, "doc_id", "content", pats[0], tri))) > 0
 
 
+def test_verify_paths_parity(docs, tri, needles):
+    """Both verify strategies — candidate-id IN-filter fetch (default,
+    row-group-prunable) and forced semi-join (fetch_ids_max=0) — must
+    return identical rows to the full scan."""
+    for needle in needles[:2]:
+        want = _ids(
+            trigram.substring_search(docs, "doc_id", "content", needle, None)
+        )
+        got_fetch = _ids(
+            trigram.substring_search(docs, "doc_id", "content", needle, tri)
+        )
+        got_join = _ids(
+            trigram.substring_search(
+                docs, "doc_id", "content", needle, tri, fetch_ids_max=0
+            )
+        )
+        assert got_fetch == want and got_join == want
+
+
+def test_fetch_path_pushes_id_filter(docs, tri, needles):
+    """The small-candidate fetch path carries the doc-id IN predicate
+    in the docs scan (pushable -> row-group pruning on an id-sorted
+    layout), not a join."""
+    plan = trigram.substring_search(docs, "doc_id", "content", needles[0], tri)
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in phys, phys
+
+
 def test_required_literals():
     rl = trigram.required_literals
     assert rl("abc[0-9]+def") == ["abc", "def"]
