@@ -357,6 +357,14 @@ def save_trigram_index(
         .sortWithinPartitions("gram", id_col)
         .write.mode("overwrite")
         .partitionBy("pfx")
+        # small row groups are the pruning GRANULARITY: hash-by-pfx
+        # writes ONE file per pfx partition, so with the default 128 MB
+        # block size a selective gram lookup would read the whole
+        # partition file — 8 MB groups let the gram min/max stats skip
+        # ~94% of a partition's bytes for a rare gram (measured in the
+        # r5 disk-resident crossover; footer overhead stays trivial at
+        # ~16 groups per 128 MB)
+        .option("parquet.block.size", str(8 * 1024 * 1024))
         .parquet(f"{path}/postings")
     )
     # aggregate stats from the JUST-WRITTEN postings, not the input

@@ -79,7 +79,7 @@ def _vocab() -> tuple[np.ndarray, np.ndarray]:
 _WORDS, _PROBS = _vocab()
 
 
-def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
+def _gen_batch(ids: np.ndarray, rich: bool = False) -> pd.DataFrame:
     rows = []
     for i in ids:
         rng = np.random.Generator(np.random.Philox(key=SEED, counter=int(i)))
@@ -87,9 +87,22 @@ def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
         d = DIRS[int(i) % len(DIRS)]
         nm = NAMES[int(i * 7 + 3) % len(NAMES)]
         path = f"src/{d}/{nm}_{int(i)}.{EXTS[lang]}"
-        n_tokens = int(rng.integers(50, 400))
+        n_tokens = int(rng.integers(150, 1200) if rich else rng.integers(50, 400))
         idx = rng.choice(len(_WORDS), size=n_tokens, p=_PROBS)
         toks = list(_WORDS[idx])
+        if rich:
+            # realistic source files carry locally-unique identifiers
+            # (variable names, hashes, uuids) whose trigrams are RARE
+            # corpus-wide — the property that makes a gram index
+            # selective on real code and that the 2k-word shared vocab
+            # alone cannot model. ~30 per doc, deterministic.
+            uids = [
+                "uid" + bytes(rng.integers(0, 256, 6, dtype=np.uint8)).hex()
+                for _ in range(30)
+            ]
+            at = rng.integers(0, max(1, len(toks)), size=len(uids))
+            for p_, u in zip(sorted(int(a) for a in at), uids):
+                toks.insert(p_, u)
         if int(i) % 17 == 0:
             pos = int(rng.integers(0, max(1, len(toks) - 1)))
             toks[pos:pos] = PHRASES[int(i) % len(PHRASES)].split(" ")
@@ -108,18 +121,26 @@ def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def synthetic_corpus(spark: SparkSession, n_docs: int = 1000, partitions: int | None = None) -> DataFrame:
+def synthetic_corpus(
+    spark: SparkSession,
+    n_docs: int = 1000,
+    partitions: int | None = None,
+    rich_identifiers: bool = False,
+) -> DataFrame:
     """Distributed deterministic corpus of ``n_docs`` files.
 
     Adds ``doc_id`` = xxhash64(repo, path, commit) — stable across
     runs/partitioning (SURVEY.md §7.4.2) — and ``content_sha256`` for
     the per-row invariant (BASELINE.json input_hint).
-    """
+    ``rich_identifiers`` switches to realistic-file sizing with ~30
+    per-doc unique identifiers (rare-trigram density of real code);
+    default off — the shared-vocab shape every existing test/bench
+    pins."""
     base = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield _gen_batch(b["id"].to_numpy())
+            yield _gen_batch(b["id"].to_numpy(), rich_identifiers)
 
     schema = "id long, repo string, path string, commit string, lang string, content string"
     df = base.mapInPandas(gen, schema)

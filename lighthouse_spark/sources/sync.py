@@ -129,7 +129,15 @@ def _filter_ids(fr: DataFrame, col, ids, spark, keep: bool, ids_df=None) -> Data
 
 
 def _ids_frame(ids, spark) -> DataFrame:
-    return spark.createDataFrame([(int(i),) for i in ids], "_fid long")
+    """One-column ``_fid long`` frame from driver-side ids. Goes
+    through pandas/Arrow — a catch-up batch can carry ~10^6 ids (the
+    touched-id sidecar write), where the row-tuple path would spend
+    seconds pickling on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.fromiter((int(i) for i in ids), dtype=np.int64)
+    return spark.createDataFrame(pd.DataFrame({"_fid": arr}), "_fid long")
 
 
 def _mask_dead(fr: DataFrame, dead, spark) -> DataFrame:

@@ -38,6 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     n_docs = int(os.environ.get("CROSS_N_DOCS", "1000000"))
+    rich = os.environ.get("CROSS_RICH", "0") == "1"
 
     from lighthouse_spark import get_spark
     from lighthouse_spark.operators import trigram
@@ -45,7 +46,7 @@ def main() -> None:
 
     spark = get_spark("trigram-crossover")
     work = tempfile.mkdtemp(prefix="tri_cross_")
-    out: dict = {"metric": "trigram_crossover", "n_docs": n_docs}
+    out: dict = {"metric": "trigram_crossover", "n_docs": n_docs, "rich": rich}
     try:
         # ---- materialize the corpus on disk (not timed), ID-SORTED
         # (repartitionByRange + sortWithinPartitions on doc_id — the
@@ -53,9 +54,11 @@ def main() -> None:
         # candidate-driven IN-filter fetch can prune row groups by
         # doc_id min/max stats ----
         corpus_path = f"{work}/docs"
-        synthetic_corpus(spark, n_docs, partitions=256).repartitionByRange(
-            256, "doc_id"
-        ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(corpus_path)
+        synthetic_corpus(
+            spark, n_docs, partitions=256, rich_identifiers=rich
+        ).repartitionByRange(256, "doc_id").sortWithinPartitions(
+            "doc_id"
+        ).write.mode("overwrite").parquet(corpus_path)
         docs = spark.read.parquet(corpus_path)
         sz = sum(
             os.path.getsize(os.path.join(dp, f))
@@ -87,6 +90,12 @@ def main() -> None:
             "dense": "return",
             "absent": "zqxjkwvqq",
         }
+        if rich:
+            # the selective class of REAL code search: a locally-unique
+            # identifier (variable/hash) — pull one from an actual doc
+            row = docs.limit(1).collect()[0]
+            uid = next(t for t in row["content"].split(" ") if t.startswith("uid"))
+            needles["selective"] = uid
         # untimed warmup of both plan shapes (JVM + codegen)
         trigram.substring_search(docs, "doc_id", "content", "license", tri).count()
         trigram.substring_search(docs, "doc_id", "content", "license", None).count()

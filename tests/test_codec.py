@@ -57,3 +57,33 @@ def test_compression_is_compact():
     raw = ids.nbytes
     enc = len(codec.delta_encode(ids))
     assert enc < raw / 4  # gaps of 7 fit in one byte each
+
+
+def test_corpus_generator_determinism_pins():
+    """The synthetic corpus is part of the oracle surface (bench rank
+    identity, fuzzy/trigram fixtures): pin the default-mode content
+    bytes (sha256 prefixes) so an accidental change to the generator's
+    RNG consumption order can't silently shift every downstream
+    number, and pin that rich_identifiers mode (a) leaves the default
+    path byte-identical, (b) injects its 30 deterministic uid tokens."""
+    import hashlib
+
+    import numpy as np
+
+    from lighthouse_spark.sources.corpus import _gen_batch
+
+    pins = {
+        "src/core/shard_0.py": "5cc0cd8db57f09bb",
+        "src/net/token_5.py": "31a9eae2a66bdb23",
+        "src/query/codec_17.js": "4d7851dbd2b5c04b",
+    }
+    b = _gen_batch(np.array([0, 5, 17]))
+    got = {
+        r["path"]: hashlib.sha256(r["content"].encode()).hexdigest()[:16]
+        for _, r in b.iterrows()
+    }
+    assert got == pins
+    r1 = _gen_batch(np.array([5]), rich=True).iloc[0]["content"]
+    r2 = _gen_batch(np.array([5]), rich=True).iloc[0]["content"]
+    assert r1 == r2  # deterministic
+    assert sum(1 for t in r1.split() if t.startswith("uid")) == 30
