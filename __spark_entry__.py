@@ -236,6 +236,28 @@ def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", ROUND).alias("score"))
 
 
+def q_phrase_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 over the REAL index format: the query terms' compressed
+    posting blocks decode (mapInPandas + codec) into the flat
+    positional shape via CompressedIndex.flat_view, and search.phrase
+    runs UNCHANGED against the persisted store — no flat rebuild.
+    Shares phrase_topk's oracle: the decoded path must be
+    value-identical to the SQL definition."""
+    import tempfile
+
+    from lighthouse_spark.sources.store import build_and_save
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="entry_pstore_")
+    ci = build_and_save(
+        docs, "doc_id", {"text": FieldSpec("text", positions=True)},
+        d + "/idx", mode="simple", n_shards=8,
+    )
+    view = ci.flat_view("text", PHRASE_Q)
+    scored = search.phrase(view, "text", PHRASE_Q)
+    return search.top_k(scored, docs, "doc_id", k=10, columns=["doc_id"], round_score=ROUND)
+
+
 # --------------------------------------------------------------------------
 # expansions (Q3/Q4/Q5 term-dictionary paths)
 # --------------------------------------------------------------------------
@@ -939,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": q_bm25_filtered,
         "bm25_batch": q_bm25_batch,
         "phrase_topk": q_phrase_topk,
+        "phrase_store": q_phrase_store,
         "term_stats_top": q_term_stats,
         "doc_stats": q_doc_stats,
         "prefix_expand": q_prefix_expand,
@@ -1847,6 +1870,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.lang = 'en'
             ORDER BY s.score DESC, d.doc_id ASC LIMIT 10""",
         "phrase_topk": _PHRASE_SQL,
+        "phrase_store": _PHRASE_SQL,
         "term_stats_top": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df

@@ -501,6 +501,97 @@ class CompressedIndex:
 
         return self._memo("doc_stats", build)
 
+    def flat_view(self, field: str, terms: list[str]) -> InvertedIndex:
+        """An InvertedIndex-shaped adapter over the PERSISTED store for
+        one query's terms: ``postings`` is the decoded flat frame
+        (field, term, doc_id, tf, dl, positions) produced by a
+        mapInPandas decode of ONLY those terms' blocks (the term
+        IN-list pushes to the block scan; parquet prunes row groups on
+        the term-sorted layout), tombstone-masked per source snapshot
+        exactly as the WAND kernel masks them.
+
+        This is the bridge that lets every flat-index operator —
+        search.phrase (incl. Lucene-exact sloppy and repeat groups),
+        match_terms, the fused engine specs — run DIRECTLY against the
+        compressed serving index, instead of requiring a flat rebuild
+        of the corpus: the Lucene analogue is reading positions from
+        the .pos file for the query's terms only. Cost is O(query
+        terms' postings), never corpus-shaped; term_stats/corpus
+        scalars come from the store's live views (exact under churn).
+        """
+        man = self.manifest
+        uniq = sorted(set(terms))
+        blocks = self.postings.filter(
+            (F.col("field") == field) & F.col("term").isin(uniq)
+        )
+        tomb_bc = self.tombstones_bc()
+        from lighthouse_spark.functions import codec as _codec
+
+        def dec(batches):
+            tomb = tomb_bc.value
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    ids = _codec.delta_decode(bytes(row.doc_ids_enc))
+                    tfs = _codec.varint_decode(bytes(row.tfs_enc)).astype(np.int64)
+                    dls = _codec.varint_decode(bytes(row.dls_enc)).astype(np.int64)
+                    if row.positions_enc is not None:
+                        poss = _codec.decode_positions(
+                            bytes(row.positions_enc), ids.size
+                        )
+                    else:
+                        poss = [None] * ids.size
+                    t = tomb.get(row.snapshot)
+                    if t is not None and t.size:
+                        live = ~np.isin(ids, t)
+                        if not live.any():
+                            continue
+                        ids, tfs, dls = ids[live], tfs[live], dls[live]
+                        poss = [p for p, lv in zip(poss, live) if lv]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "field": row.field,
+                                "term": row.term,
+                                "doc_id": ids,
+                                "tf": tfs,
+                                "dl": dls,
+                                "positions": [
+                                    None if p is None else p.astype(np.int32)
+                                    for p in poss
+                                ],
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        decoded = blocks.mapInPandas(
+            dec,
+            "field string, term string, doc_id long, tf long, dl long,"
+            " positions array<int>",
+        )
+        fd = man["fields"]
+        fields = {
+            k: (
+                FieldSpec(v["column"], positions=bool(v.get("positions")))
+                if isinstance(v, dict)
+                else FieldSpec(v[0], positions=bool(v[1]))
+            )
+            for k, v in fd.items()
+        }
+        view = InvertedIndex(
+            docs=self.docs,
+            postings=decoded,
+            term_stats=self.term_stats,
+            doc_stats=self.doc_stats,
+            fields=fields,
+            doc_id_col=man["doc_id_col"],
+            mode=man.get("analyzer_mode", man.get("mode", "simple")),
+        )
+        view._corpus = self.corpus_stats()
+        return view
+
     def tombstones(self) -> dict[str, np.ndarray]:
         """snapshot -> doc ids dead IN THAT SOURCE (updated/deleted).
         Bounded by churn between compactions."""

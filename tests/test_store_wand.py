@@ -235,3 +235,65 @@ def test_iceberg_roundtrip_when_jar_present(spark, tmp_path):
     back = iceberg.read_code_table(spark, "lht.db.repo_files")
     assert back.columns == list(iceberg.CODE_TABLE_COLUMNS)
     assert back.count() == 3
+
+
+def test_flat_view_phrase_over_store(spark, docs, cindex, flat_index):
+    """flat_view decodes the query terms' blocks into the flat-postings
+    shape, so search.phrase (exact AND Lucene-sloppy) over the
+    PERSISTED store must equal phrase over the flat index."""
+    from pyspark.sql import functions as F
+
+    for terms, slop in (
+        (["interesting", "and", "amazing", "facts"], 0),
+        (["interesting", "amazing"], 3),
+        (["the", "return"], 2),
+    ):
+        view = cindex.flat_view("content", terms)
+        got = sorted(
+            (r["doc_id"], round(r["score"], 9))
+            for r in search.phrase(view, "content", terms, slop=slop).collect()
+        )
+        want = sorted(
+            (r["doc_id"], round(r["score"], 9))
+            for r in search.phrase(flat_index, "content", terms, slop=slop).collect()
+        )
+        assert got == want and got, (terms, slop)
+    # match_terms over the view equals the flat index too (same stats,
+    # same decoded tf/dl)
+    terms = tokenize_text("the return license", "code")
+    view = cindex.flat_view("content", terms)
+    a = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in search.match_terms(view, "content", terms).collect()
+    )
+    b = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in search.match_terms(flat_index, "content", terms).collect()
+    )
+    assert a == b
+
+
+def test_flat_view_exact_under_churn(spark, docs, tmp_path_factory):
+    """Through upsert + delete batches (no compaction), the decoded
+    view must serve the NEW positions for updated docs and nothing for
+    deleted ones — the same tombstone masking the WAND kernel uses."""
+    from pyspark.sql import functions as F
+
+    from lighthouse_spark.sources import sync
+
+    d = str(tmp_path_factory.mktemp("cidx_churn"))
+    ci = build_and_save(
+        docs, "doc_id", {"content": FieldSpec("content", positions=True)},
+        d, mode="code", n_shards=2,
+    )
+    row0 = docs.orderBy("doc_id").limit(1).collect()[0]
+    upd = ci.docs.orderBy("doc_id").limit(1).withColumn(
+        "content", F.concat(F.lit("churned marker phrase "), F.col("content"))
+    )
+    ci = sync.apply_incremental(ci, upserts=upd)
+    view = ci.flat_view("content", ["churned", "marker", "phrase"])
+    hits = search.phrase(view, "content", ["churned", "marker", "phrase"]).collect()
+    assert [r["doc_id"] for r in hits] == [row0["doc_id"]]
+    ci = sync.apply_incremental(ci, del_id_list=[int(row0["doc_id"])])
+    view2 = ci.flat_view("content", ["churned", "marker", "phrase"])
+    assert search.phrase(view2, "content", ["churned", "marker", "phrase"]).count() == 0
