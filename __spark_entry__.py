@@ -856,6 +856,41 @@ _FILTER_TYPED = dict(
 )
 
 
+def q_composite_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composite tree served DIRECTLY from the persisted
+    compressed store (api.engine.search_over_store: request term
+    universe -> query-term block decode -> unchanged engine). Shares
+    composite_search's full-scoring oracle — the store-served path
+    must be value-identical to the flat-index path and the SQL
+    definition."""
+    import tempfile
+
+    from lighthouse_spark.api.engine import search_over_store
+    from lighthouse_spark.api.request import SearchRequest
+    from lighthouse_spark.sources.store import build_and_save
+
+    claims = _claims_from_documents(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="entry_cstore_")
+    ci = build_and_save(
+        claims,
+        "doc_id",
+        {
+            f: FieldSpec(f, positions=True)
+            for f in ("name", "title", "description", "channel")
+        },
+        d + "/idx",
+        mode="simple",
+        n_shards=8,
+    )
+    out = search_over_store(
+        ci,
+        SearchRequest(s=_COMPOSITE_Q, size=25),
+        now_seconds=_COMPOSITE_NOW,
+        round_score=ROUND,
+    )
+    return out.select("doc_id", "score")
+
+
 def q_composite_filtered_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4+P5+P6 through the real engine: media_type family prefixes
     with the cad special-case (query.go:326-331), NSFW-exclude as the
@@ -979,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete_prefix": q_autocomplete_prefix,
         "composite_search": q_composite_search,
         "composite_search_mlt": q_composite_search_mlt,
+        "composite_store": q_composite_store,
         "composite_filtered_media": q_composite_filtered_media,
         "composite_filtered_typed": q_composite_filtered_typed,
         # scoring / boosts
@@ -1603,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id ASC LIMIT 10""",
         "composite_search": _composite_oracle_sql(_COMPOSITE_Q),
         "composite_search_mlt": _composite_oracle_sql(_COMPOSITE_MLT_Q),
+        "composite_store": _composite_oracle_sql(_COMPOSITE_Q),
         "composite_filtered_media": _composite_oracle_sql(
             _COMPOSITE_Q, extra_where=_FILTER_MEDIA_WHERE
         ),

@@ -549,3 +549,67 @@ class SearchEngine:
         else:
             out = out.limit(req.size)
         return out.drop(sort_extra) if sort_extra else out
+
+
+def search_over_store(
+    cindex,
+    req: SearchRequest,
+    fields: ClaimsFieldMap | None = None,
+    now_seconds: float = 1767225600.0,
+    round_score: int | None = None,
+    **engine_kwargs,
+) -> DataFrame:
+    """Run the FULL composite engine directly against a persisted
+    CompressedIndex — no flat rebuild of the corpus.
+
+    The engine's postings needs are bounded by the request's term
+    universe, which is computable BEFORE any postings scan: the
+    rewritten query's tokens, the compressed (space-stripped) form,
+    the channel-filter tokens, the related-to doc's like terms, and
+    every fuzzy expansion (one dictionary round trip via
+    expand.fuzzy_and_df — the same scan the engine's own prefetch
+    performs, against the store's live term_stats/term_dict views).
+    Those terms' blocks decode into a flat view
+    (CompressedIndex.flat_view_terms) and the UNCHANGED SearchEngine
+    runs over it; a term missing from the universe would silently
+    score 0, so parity with the flat-index engine is pinned by tests
+    across phrase / fuzzy / @-channel / filter queries.
+
+    Scale shape: decode cost is O(query terms' postings) — the Lucene
+    analogue of reading only the query's term/.pos entries — and the
+    docs side stays the store's bucketed table (filters and the
+    response projection push into its scan)."""
+    fmap = fields or ClaimsFieldMap()
+    req.validate()
+    s = special.rewrite(truncate_query(req.s))
+    mode = cindex.manifest.get("analyzer_mode", "simple")
+    toks = tokenize_text(s, mode)
+    comp = tokenize_text(s.replace(" ", ""), mode)
+    chan = tokenize_text(req.channel, mode) if req.channel else []
+    universe = set(toks) | set(comp) | set(chan)
+    if (
+        req.related_to is not None
+        and fmap.claim_id
+        and fmap.claim_id in cindex.docs.columns
+    ):
+        row = (
+            cindex.docs.filter(F.col(fmap.claim_id) == req.related_to)
+            .limit(1)
+            .collect()
+        )
+        if row:
+            parts = []
+            for lg in ("name", "title", "channel"):
+                col = getattr(fmap, lg)
+                if col and col in cindex.docs.columns and row[0][col]:
+                    parts.append(str(row[0][col]))
+            universe |= set(tokenize_text(" ".join(parts), mode))
+    indexed = sorted(cindex.manifest["fields"])
+    if engine_kwargs.get("enable_fuzzy", True) and universe:
+        _, fz = expand.fuzzy_and_df(cindex, indexed, sorted(universe))
+        for per_term in fz.values():
+            for exps in per_term.values():
+                universe.update(exps)
+    view = cindex.flat_view_terms(sorted(universe))
+    eng = SearchEngine(view, fields=fmap, now_seconds=now_seconds, **engine_kwargs)
+    return eng.search(req, round_score=round_score)

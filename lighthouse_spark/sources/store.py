@@ -501,7 +501,23 @@ class CompressedIndex:
 
         return self._memo("doc_stats", build)
 
+    def flat_view_terms(
+        self, terms: list[str], fields: list[str] | None = None
+    ) -> InvertedIndex:
+        """Multi-field generalization of flat_view: decode the blocks
+        of ``terms`` across ``fields`` (default: every indexed field).
+        The composite engine runs over this — see
+        api.engine.search_over_store for how the request's full term
+        universe (query + compressed + channel + fuzzy expansions) is
+        assembled before the decode."""
+        return self._flat_view_impl(terms, fields)
+
     def flat_view(self, field: str, terms: list[str]) -> InvertedIndex:
+        return self._flat_view_impl(terms, [field])
+
+    def _flat_view_impl(
+        self, terms: list[str], fields: list[str] | None
+    ) -> InvertedIndex:
         """An InvertedIndex-shaped adapter over the PERSISTED store for
         one query's terms: ``postings`` is the decoded flat frame
         (field, term, doc_id, tf, dl, positions) produced by a
@@ -521,9 +537,10 @@ class CompressedIndex:
         """
         man = self.manifest
         uniq = sorted(set(terms))
-        blocks = self.postings.filter(
-            (F.col("field") == field) & F.col("term").isin(uniq)
+        fpred = (
+            F.col("field").isin(list(fields)) if fields is not None else F.lit(True)
         )
+        blocks = self.postings.filter(fpred & F.col("term").isin(uniq))
         tomb_bc = self.tombstones_bc()
         from lighthouse_spark.functions import codec as _codec
 

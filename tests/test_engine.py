@@ -242,3 +242,39 @@ def test_contains_clauses_opt_in(engine, claims_pd):
     assert "name-contains" in clauses or "title-contains" in clauses
     base = {r["clause"] for r in engine.clause_scores(SearchRequest(s="crypto")).select("clause").distinct().collect()}
     assert not any(c.endswith("-contains") for c in base)
+
+
+def test_search_over_store_rank_identical(spark, claims, engine, tmp_path_factory):
+    """search_over_store runs the UNCHANGED engine over the persisted
+    compressed store (query-term block decode via flat_view_terms) —
+    ranking and scores must be identical to the flat-index engine for
+    the whole golden set, including the phrase / fuzzy / @-channel /
+    filter paths whose terms the universe assembly must cover."""
+    from lighthouse_spark.api.engine import search_over_store
+    from lighthouse_spark.sources.store import build_and_save
+
+    d = str(tmp_path_factory.mktemp("engine_store"))
+    ci = build_and_save(
+        claims,
+        "doc_id",
+        {
+            f: FieldSpec(f, positions=True)
+            for f in ("name", "title", "description", "channel")
+        },
+        d,
+        mode="simple",
+        n_shards=4,
+    )
+    for kw in GOLDEN:
+        req = SearchRequest(size=25, **kw)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_over_store(ci, req, now_seconds=NOW)
+            .select("doc_id", "score")
+            .collect()
+        ]
+        want = _run_engine(engine, k=25, **kw)
+        assert [g[0] for g in got] == [w[0] for w in want], kw
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], rel=1e-9)
+        assert got, kw
