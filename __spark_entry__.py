@@ -736,6 +736,32 @@ def q_autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.top_k(scored, docs, "doc_id", k=10, columns=["doc_id"], round_score=ROUND)
 
 
+def q_autocomplete_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 over the REAL index format: the same 'sp' prefix expansion,
+    but the postings come from the persisted compressed store via the
+    bounded flat_view_terms decode (api.autocomplete's
+    autocomplete_over_store universe assembly). Shares
+    autocomplete_prefix's oracle."""
+    import tempfile
+
+    from lighthouse_spark.api.autocomplete import phrase_prefix
+    from lighthouse_spark.operators.expand import expand_prefix_with_df_fields
+    from lighthouse_spark.sources.store import build_and_save
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="entry_acstore_")
+    ci = build_and_save(
+        docs, "doc_id", {"text": FieldSpec("text", positions=True)},
+        d + "/idx", mode="simple", n_shards=8,
+    )
+    exps, _ = expand_prefix_with_df_fields(ci, ["text"], "sp", [])["text"]
+    view = ci.flat_view("text", exps)
+    scored = phrase_prefix(view, "text", ["sp"], boost=1.0)
+    if scored is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return search.top_k(scored, docs, "doc_id", k=10, columns=["doc_id"], round_score=ROUND)
+
+
 # --------------------------------------------------------------------------
 # composite /search E2E (Q1+Q2+Q8-Q14 in one tree; VERDICT r2 missing #1)
 # --------------------------------------------------------------------------
@@ -1012,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_terms": q_mlt_terms,
         "bool_should": q_bool_should,
         "autocomplete_prefix": q_autocomplete_prefix,
+        "autocomplete_store": q_autocomplete_store,
         "composite_search": q_composite_search,
         "composite_search_mlt": q_composite_search_mlt,
         "composite_store": q_composite_store,
@@ -1622,6 +1649,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(score, {ROUND}) AS score FROM s
             ORDER BY score DESC, doc_id ASC LIMIT 15""",
         "autocomplete_prefix": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            c AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            exp AS (SELECT term FROM dft WHERE term LIKE 'sp%' ORDER BY term LIMIT 50),
+            per AS (
+              SELECT tf.doc_id,
+                     max(ln(1 + (c.n - dft.df + 0.5) / (dft.df + 0.5))
+                         * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))) AS score
+              FROM tf JOIN exp USING (term) JOIN dft USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN c
+              GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, {ROUND}) AS score FROM per
+            ORDER BY score DESC, doc_id ASC LIMIT 10""",
+        "autocomplete_store": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
             dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),

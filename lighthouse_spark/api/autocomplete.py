@@ -260,3 +260,42 @@ def autocomplete(
         .drop("_rn")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
+
+
+def autocomplete_over_store(
+    cindex,
+    req: AutoCompleteRequest,
+    fields: ClaimsFieldMap | None = None,
+    round_score: int | None = None,
+) -> DataFrame:
+    """/autocomplete served DIRECTLY from a persisted CompressedIndex.
+
+    The request's postings needs are bounded and computable up front:
+    the query's own tokens plus the ≤50-per-field prefix expansions of
+    the last token — fetched with ONE dictionary round trip against
+    the store's live term_stats (the same bounded
+    expand_prefix_with_df_fields plan the flat path uses). Those
+    terms' blocks decode via flat_view_terms and the UNCHANGED
+    autocomplete() runs over the view; parity with the flat index is
+    pinned by tests. Cost is O(heads + 50·fields postings), never
+    corpus-shaped."""
+    fmap = fields or ClaimsFieldMap()
+    req.validate()
+    mode = cindex.manifest.get("analyzer_mode", "simple")
+    terms = tokenize_text(req.s, mode)
+    universe = set(terms)
+    indexed = set(cindex.manifest["fields"])
+    if terms and not req.s.startswith("@"):
+        ac_fields = [
+            getattr(fmap, lg)
+            for lg in ("name", "title", "author", "description")
+            if getattr(fmap, lg) and getattr(fmap, lg) in indexed
+        ]
+        if ac_fields:
+            pre = expand.expand_prefix_with_df_fields(
+                cindex, ac_fields, terms[-1], terms[:-1]
+            )
+            for exps, _dfm in pre.values():
+                universe.update(exps)
+    view = cindex.flat_view_terms(sorted(universe))
+    return autocomplete(view, req, fields=fmap, round_score=round_score)

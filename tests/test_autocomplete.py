@@ -190,3 +190,36 @@ def test_suggest_terms_frequency_semantics(spark):
     assert got["marge"] == "marge"
     # nothing within distance -> unchanged
     assert got["zzqqzz"] == "zzqqzz"
+
+
+def test_autocomplete_over_store_parity(spark, claims, cindex, tmp_path_factory):
+    """autocomplete_over_store (bounded prefix-expansion universe ->
+    flat_view_terms decode -> unchanged autocomplete) must return
+    identical suggestions to the flat-index path, both branches."""
+    from lighthouse_spark.api.autocomplete import autocomplete_over_store
+    from lighthouse_spark.sources.store import build_and_save
+
+    d = str(tmp_path_factory.mktemp("ac_store"))
+    ci = build_and_save(
+        claims,
+        "doc_id",
+        {
+            "name": FieldSpec("name", positions=True),
+            "title": FieldSpec("title", positions=True),
+            "description": FieldSpec("description", positions=True),
+        },
+        d,
+        mode="simple",
+        n_shards=4,
+    )
+    for s in ("cr", "interesting am", "@scishow", "amazing facts ab"):
+        req = AutoCompleteRequest(s=s, size=10)
+        got = [
+            (r["name"], r["doc_id"], round(r["score"], 9))
+            for r in autocomplete_over_store(ci, req).collect()
+        ]
+        want = [
+            (r["name"], r["doc_id"], round(r["score"], 9))
+            for r in autocomplete(cindex, req).collect()
+        ]
+        assert got == want, s
