@@ -153,14 +153,14 @@ class SearchService:
         start = time.time()
         key = "ac:" + repr(req)
         name_col = self.engine.fields.name
+        # an engine may provide its own autocomplete plan (StoreEngine
+        # routes to the store-served path); default is the flat path
+        ac = getattr(self.engine, "autocomplete", None)
+        run = (lambda: ac(req)) if callable(ac) else (
+            lambda: autocomplete(self.engine.index, req, self.engine.fields)
+        )
         out = self.cache.fetch(
-            key,
-            lambda: [
-                r[name_col]
-                for r in autocomplete(
-                    self.engine.index, req, self.engine.fields
-                ).collect()
-            ],
+            key, lambda: [r[name_col] for r in run().collect()]
         )
         metrics.AutoCompleteDuration.observe(time.time() - start)
         return out
@@ -215,3 +215,48 @@ class SearchService:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.orderBy("doc_id", "clause")
+
+
+@dataclass
+class StoreEngine:
+    """Engine adapter over a persisted CompressedIndex: the duck-typed
+    surface SearchService expects (.search / .fields / .index), routed
+    through the store-served paths (engine.search_over_store /
+    autocomplete.autocomplete_over_store). With this, the WHOLE
+    serving layer — cache, metrics, /status — runs against the
+    compressed on-disk index: a reference user's API process maps 1:1
+    with no flat rebuild. `SearchService(StoreEngine(cindex))`."""
+
+    cindex: object
+    fields: object = None
+    now_seconds: float = 1767225600.0
+    engine_kwargs: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        from lighthouse_spark.api.engine import ClaimsFieldMap
+
+        if self.fields is None:
+            self.fields = ClaimsFieldMap()
+
+    @property
+    def index(self):
+        # for /status: docs + corpus_stats come from the store's live
+        # views (manifest-exact under churn)
+        return self.cindex
+
+    def search(self, req: SearchRequest, round_score: int | None = None) -> DataFrame:
+        from lighthouse_spark.api.engine import search_over_store
+
+        return search_over_store(
+            self.cindex,
+            req,
+            fields=self.fields,
+            now_seconds=self.now_seconds,
+            round_score=round_score,
+            **self.engine_kwargs,
+        )
+
+    def autocomplete(self, req: AutoCompleteRequest) -> DataFrame:
+        from lighthouse_spark.api.autocomplete import autocomplete_over_store
+
+        return autocomplete_over_store(self.cindex, req, fields=self.fields)

@@ -102,9 +102,22 @@ def query_grams(s: str, lowercase: bool = True) -> list[str]:
     return sorted({s[i : i + 3] for i in range(len(s) - 2)}) if len(s) >= 3 else []
 
 
+def _rarest_grams_df(
+    stats: DataFrame, grams: list[str], k: int, selective_df: int = 2000
+) -> tuple[list[str], int] | None:
+    """(chosen grams, min df) — the min df is a FREE upper bound on the
+    candidate-set size (every candidate contains every chosen gram),
+    which the verify strategy uses without running any probe job."""
+    got = _rarest_grams(stats, grams, k, selective_df)
+    if got is None:
+        return None
+    chosen, dfs = got
+    return chosen, min(dfs[g] for g in chosen)
+
+
 def _rarest_grams(
     stats: DataFrame, grams: list[str], k: int, selective_df: int = 2000
-) -> list[str] | None:
+):
     """Up to k lowest-df query grams, or None when some gram has df 0 —
     in that case NO document can contain the query and the caller may
     return empty without touching postings. Cost-based (Zoekt-style)
@@ -130,7 +143,7 @@ def _rarest_grams(
         if dfs[chosen[-1]] <= selective_df:
             break
         chosen.append(g)
-    return chosen
+    return chosen, dfs
 
 
 def _gram_pred(postings: DataFrame, chosen: list[str]):
@@ -159,10 +172,10 @@ def substring_candidates(
     grams = query_grams(needle, lowercase)
     if not grams:
         raise ValueError("substring_candidates needs len(needle) >= 3")
-    chosen = _rarest_grams(stats, grams, k_rarest)
-    if chosen is None:
+    got = _rarest_grams_df(stats, grams, k_rarest)
+    if got is None:
         return None
-    return _intersect_grams(postings, id_col, chosen)
+    return _intersect_grams(postings, id_col, got[0])
 
 
 def _intersect_grams(postings: DataFrame, id_col: str, chosen: list[str]) -> DataFrame:
@@ -180,32 +193,41 @@ def _intersect_grams(postings: DataFrame, id_col: str, chosen: list[str]) -> Dat
     )
 
 
-# Candidate-id fetch threshold: up to this many candidate ids are
-# collected and pushed into the docs scan as a doc-id IN filter —
-# parquet then prunes ROW GROUPS by id min/max stats (big IO skip when
-# the docs layout is id-sorted/bucketed, as the store's is), where a
-# semi-join would still read+parse the whole text column and only save
-# the contains() evaluation. Above the cap, plan literals bloat
-# (_ISIN_MAX rationale) and a selective fetch wouldn't prune much
-# anyway — fall back to the semi-join. This mirrors Zoekt/Code Search:
-# the gram index yields a FILE LIST and only those files are read.
+# Candidate-id fetch threshold (OPT-IN, default off): when enabled and
+# the rarest chosen gram's df — a free upper bound on the candidate
+# count, no probe job — is within the cap, candidate ids are collected
+# and pushed into the docs scan as a doc-id IN filter. Parquet then
+# prunes ROW GROUPS by id min/max stats (big IO skip on an id-sorted/
+# bucketed docs layout, as the store's is), where a semi-join would
+# still read+parse the whole text column and only save the contains()
+# evaluation. This mirrors Zoekt/Code Search: the gram index yields a
+# FILE LIST and only those files are read. It is opt-in because the
+# extra collect round trip only pays off when the docs bytes are
+# DISK-RESIDENT — on a hot/cached corpus the single-job semi-join wins
+# (both regimes measured in BASELINE.md round-5). Above the cap, plan
+# literals bloat (_ISIN_MAX rationale) — always semi-join.
 _FETCH_IDS_MAX = 10_000
 
 
 def _verified(
-    docs: DataFrame, id_col: str, cands: DataFrame, verify, fetch_ids_max: int
+    docs: DataFrame,
+    id_col: str,
+    cands: DataFrame,
+    verify,
+    fetch_ids_max: int,
+    cand_bound: int | None = None,
 ) -> DataFrame:
-    """Exact-verify the candidate superset. Small candidate sets are
-    collected (bounded by ``fetch_ids_max``) and pushed into the docs
-    scan as an IN filter — candidate-driven doc FETCH with row-group
-    pruning; large ones verify via semi-join."""
-    if fetch_ids_max:
-        probe = cands.limit(fetch_ids_max + 1).collect()
-        if len(probe) <= fetch_ids_max:
-            if not probe:
-                return docs.filter(F.lit(False))
-            ids = sorted(r[0] for r in probe)
-            return docs.filter(F.col(id_col).isin(ids)).filter(verify)
+    """Exact-verify the candidate superset. With fetch enabled AND the
+    stats-derived candidate bound within the cap, collect the ids
+    (bounded, no probe job) and push them into the docs scan as an IN
+    filter — candidate-driven doc FETCH with row-group pruning;
+    otherwise verify via one semi-join (no extra job ever runs for
+    large candidate sets)."""
+    if fetch_ids_max and cand_bound is not None and cand_bound <= fetch_ids_max:
+        ids = sorted(r[0] for r in cands.collect())
+        if not ids:
+            return docs.filter(F.lit(False))
+        return docs.filter(F.col(id_col).isin(ids)).filter(verify)
     return docs.join(cands, on=id_col, how="left_semi").filter(verify)
 
 
@@ -217,26 +239,29 @@ def substring_search(
     index: tuple[DataFrame, DataFrame] | None = None,
     k_rarest: int = 3,
     lowercase: bool = True,
-    fetch_ids_max: int = _FETCH_IDS_MAX,
+    fetch_ids_max: int = 0,
 ) -> DataFrame:
     """All doc rows whose text contains ``needle`` (case-folded by
     default). With an index: candidate-pruned scan + exact verify —
     identical results to the full scan, which is the documented
-    fallback for short needles / no index. Verification fetches the
-    candidate docs by id when the candidate set is small (pushed-down
-    IN filter -> row-group pruning on an id-sorted docs layout; set
-    ``fetch_ids_max=0`` to force the semi-join)."""
+    fallback for short needles / no index. Pass
+    ``fetch_ids_max=_FETCH_IDS_MAX`` (opt-in) on a DISK-RESIDENT
+    id-sorted docs layout to fetch small candidate sets by id
+    (pushed-down IN filter -> row-group pruning) instead of the
+    default single-job semi-join — see _FETCH_IDS_MAX for the
+    trade-off."""
     verify = _lowered(docs, text_col, lowercase).contains(
         needle.lower() if lowercase else needle
     )
     if index is None or len(needle) < 3:
         return docs.filter(verify)
-    cands = substring_candidates(
-        index[0], index[1], id_col, needle, k_rarest, lowercase
-    )
-    if cands is None:
+    grams = query_grams(needle, lowercase)
+    got = _rarest_grams_df(index[1], grams, k_rarest)
+    if got is None:
         return docs.filter(F.lit(False))
-    return _verified(docs, id_col, cands, verify, fetch_ids_max)
+    chosen, bound = got
+    cands = _intersect_grams(index[0], id_col, chosen)
+    return _verified(docs, id_col, cands, verify, fetch_ids_max, bound)
 
 
 def required_literals(
@@ -309,7 +334,7 @@ def regex_search(
     index: tuple[DataFrame, DataFrame] | None = None,
     k_rarest: int = 3,
     lowercase: bool = True,
-    fetch_ids_max: int = _FETCH_IDS_MAX,
+    fetch_ids_max: int = 0,
 ) -> DataFrame:
     """All doc rows whose text matches ``pattern`` (unanchored
     ``rlike`` semantics, against the case-folded text by default).
@@ -335,11 +360,12 @@ def regex_search(
     if index is None or not lits:
         return docs.filter(verify)
     grams = sorted({g for l in lits for g in query_grams(l, lowercase)})
-    chosen = _rarest_grams(index[1], grams, k_rarest)
-    if chosen is None:
+    got = _rarest_grams_df(index[1], grams, k_rarest)
+    if got is None:
         return docs.filter(F.lit(False))
+    chosen, bound = got
     cands = _intersect_grams(index[0], id_col, chosen)
-    return _verified(docs, id_col, cands, verify, fetch_ids_max)
+    return _verified(docs, id_col, cands, verify, fetch_ids_max, bound)
 
 
 def save_trigram_index(

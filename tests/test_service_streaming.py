@@ -188,3 +188,35 @@ def test_streaming_available_now(spark, tmp_path):
     ci = run_available_now(ci, str(src), str(tmp_path / "ckpt"), schema=schema)
     got2 = {r["doc_id"] for r in wand.wand_topk(ci, "content", ["streamedterm"], k=10).collect()}
     assert len(got2) == 1 and got2 < set(ids)
+
+
+def test_service_over_store(spark, tmp_path_factory):
+    """The whole serving layer on the persisted index:
+    SearchService(StoreEngine(cindex)) must serve /search,
+    /autocomplete and /status with results identical to the flat-index
+    service."""
+    from lighthouse_spark.api.service import StoreEngine
+    from lighthouse_spark.sources.store import build_and_save
+
+    claims = synthetic_claims(spark, 200).cache()
+    specs = {
+        f: FieldSpec(f, positions=True)
+        for f in ("name", "title", "description", "channel")
+    }
+    flat_svc = SearchService(
+        SearchEngine(build_index(claims, "doc_id", specs, mode="simple").cache())
+    )
+    d = str(tmp_path_factory.mktemp("svc_store"))
+    ci = build_and_save(claims, "doc_id", specs, d, mode="simple", n_shards=4)
+    store_svc = SearchService(StoreEngine(ci, now_seconds=flat_svc.engine.now_seconds))
+
+    req = SearchRequest(s="interesting facts", size=5)
+    assert store_svc.search(req) == flat_svc.search(req)
+    ac = AutoCompleteRequest(s="cr", size=5)
+    assert store_svc.autocomplete(ac) == flat_svc.autocomplete(ac)
+    st = store_svc.status()
+    assert st["doc_count"] == 200 and st["status"] == "green"
+    # cached second call: no new miss
+    m = store_svc.cache.misses
+    store_svc.search(SearchRequest(s="interesting facts", size=5))
+    assert store_svc.cache.misses == m

@@ -95,22 +95,26 @@ def test_verify_paths_parity(docs, tri, needles):
         want = _ids(
             trigram.substring_search(docs, "doc_id", "content", needle, None)
         )
-        got_fetch = _ids(
+        got_join = _ids(
             trigram.substring_search(docs, "doc_id", "content", needle, tri)
         )
-        got_join = _ids(
+        got_fetch = _ids(
             trigram.substring_search(
-                docs, "doc_id", "content", needle, tri, fetch_ids_max=0
+                docs, "doc_id", "content", needle, tri,
+                fetch_ids_max=trigram._FETCH_IDS_MAX,
             )
         )
         assert got_fetch == want and got_join == want
 
 
 def test_fetch_path_pushes_id_filter(docs, tri, needles):
-    """The small-candidate fetch path carries the doc-id IN predicate
-    in the docs scan (pushable -> row-group pruning on an id-sorted
-    layout), not a join."""
-    plan = trigram.substring_search(docs, "doc_id", "content", needles[0], tri)
+    """The small-candidate fetch path (opt-in) carries the doc-id IN
+    predicate in the docs scan (pushable -> row-group pruning on an
+    id-sorted layout), not a join."""
+    plan = trigram.substring_search(
+        docs, "doc_id", "content", needles[0], tri,
+        fetch_ids_max=trigram._FETCH_IDS_MAX,
+    )
     phys = plan._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in phys, phys
 
