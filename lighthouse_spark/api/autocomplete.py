@@ -173,8 +173,13 @@ def autocomplete(
     req: AutoCompleteRequest,
     fields: ClaimsFieldMap | None = None,
     round_score: int | None = None,
+    prefetched: dict | None = None,
 ) -> DataFrame:
-    """Returns (name, claim_id?, doc_id, score) suggestions."""
+    """Returns (name, claim_id?, doc_id, score) suggestions.
+    ``prefetched`` lets a caller that already ran the bounded
+    expand_prefix_with_df_fields scan (autocomplete_over_store) pass
+    its {field: (expansions, df_map)} result instead of paying an
+    identical second dictionary round trip."""
     fields = fields or ClaimsFieldMap()
     req.validate()
     docs = index.docs
@@ -203,11 +208,16 @@ def autocomplete(
             for lg in ("name", "title", "author", "description")
             if has(lg) and (lg == "name" or getattr(fields, lg) in index.fields)
         ]
-        pre = (
-            expand.expand_prefix_with_df_fields(index, ac_fields, terms[-1], terms[:-1])
-            if terms
-            else {}
-        )
+        if prefetched is not None:
+            pre = prefetched
+        else:
+            pre = (
+                expand.expand_prefix_with_df_fields(
+                    index, ac_fields, terms[-1], terms[:-1]
+                )
+                if terms
+                else {}
+            )
         f_name = (
             phrase_prefix(index, fields.name, terms, boost=4.0,
                           prefetched=pre.get(fields.name))
@@ -285,6 +295,7 @@ def autocomplete_over_store(
     terms = tokenize_text(req.s, mode)
     universe = set(terms)
     indexed = set(cindex.manifest["fields"])
+    pre = None
     if terms and not req.s.startswith("@"):
         ac_fields = [
             getattr(fmap, lg)
@@ -298,4 +309,6 @@ def autocomplete_over_store(
             for exps, _dfm in pre.values():
                 universe.update(exps)
     view = cindex.flat_view_terms(sorted(universe))
-    return autocomplete(view, req, fields=fmap, round_score=round_score)
+    # the expansion scan above IS autocomplete()'s own prefetch — pass
+    # it through so the request pays ONE dictionary round trip
+    return autocomplete(view, req, fields=fmap, round_score=round_score, prefetched=pre)

@@ -108,6 +108,59 @@ class SearchEngine:
     # the unaccelerated scan; a None resolution falls back to it.
     trigram: dict = dc_field(default_factory=dict)
 
+    # ---- per-request prefetch state: THREAD-LOCAL -------------------------
+    # SearchService.search_many serves concurrent requests from driver
+    # threads against ONE engine; instance attributes would race (a
+    # concurrent request's _prefetch overwriting this one's between
+    # _prefetch and _clause_specs silently drops MLT terms — mlt_terms
+    # treats a term missing from a provided df_map as df=0).
+
+    @property
+    def _tls(self):
+        import threading
+
+        t = self.__dict__.get("_tls_store")
+        if t is None:
+            t = threading.local()
+            self.__dict__["_tls_store"] = t
+        return t
+
+    @property
+    def _df_prefetch(self):
+        return getattr(self._tls, "df_prefetch", None)
+
+    @_df_prefetch.setter
+    def _df_prefetch(self, v):
+        self._tls.df_prefetch = v
+
+    @property
+    def _fuzzy_prefetch(self):
+        return getattr(self._tls, "fuzzy_prefetch", None)
+
+    @_fuzzy_prefetch.setter
+    def _fuzzy_prefetch(self, v):
+        self._tls.fuzzy_prefetch = v
+
+    @property
+    def _phys_fields(self):
+        return getattr(self._tls, "phys_fields", None)
+
+    @_phys_fields.setter
+    def _phys_fields(self, v):
+        self._tls.phys_fields = v
+
+    def inject_prefetch(self, df_map, fuzzy, phys_fields) -> None:
+        """Pre-warmed dictionary state for THIS THREAD's next request —
+        search_over_store already paid the fuzzy_and_df round trip to
+        assemble the term universe, so the engine's own _prefetch
+        would be an identical second scan; consume the injected state
+        instead (one-shot)."""
+        t = self._tls
+        t.df_prefetch = df_map
+        t.fuzzy_prefetch = fuzzy
+        t.phys_fields = phys_fields
+        t.injected = True
+
     # ---- helpers ----------------------------------------------------------
 
     @property
@@ -284,6 +337,11 @@ class SearchEngine:
         term (absent recorded as 0) AND the fuzzy expansions with their
         dfs, across all searchable fields (expand.fuzzy_and_df). No
         clause ever goes back to the dictionary."""
+        if getattr(self._tls, "injected", False):
+            # store-served path already ran the identical dictionary
+            # scan to assemble the term universe (inject_prefetch)
+            self._tls.injected = False
+            return
         comp_terms = self._terms(s.replace(" ", ""))
         phys_fields = [
             getattr(self.fields, lg)
@@ -605,11 +663,22 @@ def search_over_store(
                     parts.append(str(row[0][col]))
             universe |= set(tokenize_text(" ".join(parts), mode))
     indexed = sorted(cindex.manifest["fields"])
+    dfm = fz = None
     if engine_kwargs.get("enable_fuzzy", True) and universe:
-        _, fz = expand.fuzzy_and_df(cindex, indexed, sorted(universe))
+        dfm, fz = expand.fuzzy_and_df(cindex, indexed, sorted(universe))
         for per_term in fz.values():
             for exps in per_term.values():
                 universe.update(exps)
     view = cindex.flat_view_terms(sorted(universe))
     eng = SearchEngine(view, fields=fmap, now_seconds=now_seconds, **engine_kwargs)
+    if dfm is not None:
+        # the universe scan above IS the engine's prefetch (superset:
+        # it also covered channel/related-to terms) — inject it so the
+        # request pays ONE dictionary round trip, not two
+        phys = [
+            getattr(fmap, lg)
+            for lg in ("name", "title", "description", "channel")
+            if getattr(fmap, lg) and getattr(fmap, lg) in cindex.docs.columns
+        ]
+        eng.inject_prefetch(dfm, fz, phys)
     return eng.search(req, round_score=round_score)

@@ -169,13 +169,29 @@ def substring_candidates(
     rarest-k gram intersection; None = provably empty. The groupBy is a
     partial-aggregating shuffle on doc id over only the chosen grams'
     postings."""
+    got = _candidates_with_bound(postings, stats, id_col, needle, k_rarest, lowercase)
+    return None if got is None else got[0]
+
+
+def _candidates_with_bound(
+    postings: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    needle: str,
+    k_rarest: int,
+    lowercase: bool,
+) -> tuple[DataFrame, int] | None:
+    """(candidate frame, stats-derived size bound) — the single
+    candidate-pruning sequence substring_candidates and
+    substring_search both use (one copy to keep in sync)."""
     grams = query_grams(needle, lowercase)
     if not grams:
         raise ValueError("substring_candidates needs len(needle) >= 3")
     got = _rarest_grams_df(stats, grams, k_rarest)
     if got is None:
         return None
-    return _intersect_grams(postings, id_col, got[0])
+    chosen, bound = got
+    return _intersect_grams(postings, id_col, chosen), bound
 
 
 def _intersect_grams(postings: DataFrame, id_col: str, chosen: list[str]) -> DataFrame:
@@ -255,12 +271,12 @@ def substring_search(
     )
     if index is None or len(needle) < 3:
         return docs.filter(verify)
-    grams = query_grams(needle, lowercase)
-    got = _rarest_grams_df(index[1], grams, k_rarest)
+    got = _candidates_with_bound(
+        index[0], index[1], id_col, needle, k_rarest, lowercase
+    )
     if got is None:
         return docs.filter(F.lit(False))
-    chosen, bound = got
-    cands = _intersect_grams(index[0], id_col, chosen)
+    cands, bound = got
     return _verified(docs, id_col, cands, verify, fetch_ids_max, bound)
 
 

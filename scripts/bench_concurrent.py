@@ -60,6 +60,7 @@ def main() -> None:
         "travel vlog",
         "science explained",
         "funny moments",
+        "crypto daily crypto",   # repeated token: MLT-active request
     ]
     reqs = [SearchRequest(s=q, size=10) for q in qset]
 

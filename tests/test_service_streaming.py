@@ -68,6 +68,11 @@ def test_search_many_equals_serial(service):
     reqs = [
         SearchRequest(s="interesting facts", size=5),
         SearchRequest(s="crypto news", size=5),
+        # repeated token -> the MLT clause is ACTIVE (min_term_freq=2):
+        # this is the request that exposes a shared-prefetch race —
+        # mlt_terms silently drops like-terms missing from a df_map
+        # another thread overwrote (engine prefetch is thread-local)
+        SearchRequest(s="crypto daily crypto", size=5),
         SearchRequest(s="amazing stories", size=5),
         SearchRequest(s="interesting facts", size=5),  # duplicate key
         SearchRequest(s="music video", size=5, nsfw=False),
@@ -79,8 +84,10 @@ def test_search_many_equals_serial(service):
     ]
     got = fresh.search_many(reqs, max_workers=4)
     assert got == serial
-    # 6 requests, 5 distinct keys: single-flight + cache -> <=5 computes
-    assert fresh.cache.misses <= 5
+    # the MLT-active request must actually have results to compare
+    assert got[2]
+    # 7 requests, 6 distinct keys: single-flight + cache -> <=6 computes
+    assert fresh.cache.misses <= 6
 
 
 def test_query_cache_single_flight_threads():

@@ -297,3 +297,21 @@ def test_flat_view_exact_under_churn(spark, docs, tmp_path_factory):
     ci = sync.apply_incremental(ci, del_id_list=[int(row0["doc_id"])])
     view2 = ci.flat_view("content", ["churned", "marker", "phrase"])
     assert search.phrase(view2, "content", ["churned", "marker", "phrase"]).count() == 0
+
+
+def test_flat_view_pushes_term_filter_to_block_scan(spark, cindex):
+    """The decode is bounded by the query's terms BECAUSE the term
+    IN-list reaches the parquet block scan (PushedFilters) — pin it so
+    a refactor can't silently turn flat_view into a full-postings
+    decode."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        view = cindex.flat_view("content", ["license", "return"])
+        phys = view.postings._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "PushedFilters" in phys
+    pushed = [ln for ln in phys.splitlines() if "PushedFilters" in ln]
+    # must be the term IN-list itself — IsNotNull(term)+In(field,...)
+    # on the same line would satisfy a looser substring check
+    assert any("In(term" in ln for ln in pushed), pushed
