@@ -312,6 +312,19 @@ def q_fuzzy_expand_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_expand_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 fuzzy AUTO at BOTH tiers in one checked frame: tier d1 =
+    dictionary terms within edit 1 of 'spark' (v = df); tier d2 = the
+    plan-capped ≤50 closest terms within edit 2 of 'sart' through the
+    real expansion operator (v = rank). Consolidated in r6 for the
+    50-row CORRECTNESS budget."""
+    d1 = q_fuzzy_expand(spark, sf_dir).select(
+        F.lit("d1").alias("tier"), "term", F.col("df").cast("long").alias("v"))
+    d2 = q_fuzzy_expand_d2(spark, sf_dir).select(
+        F.lit("d2").alias("tier"), "term", F.col("rank").cast("long").alias("v"))
+    return d1.unionByName(d2).orderBy("tier", "term")
+
+
 def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6's scale path: substring search through the character-trigram
     index (operators/trigram.py; Cox 2012 / Zoekt design) — the
@@ -539,6 +552,28 @@ def _pii_suffix_spark():
     )
 
 
+def q_curation_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four curation primitives in ONE value-checked frame
+    (decontaminate / hash_sample / stratified_sample / pii_scrub,
+    op-tagged) — consolidated in r6 so the driver's 50-row
+    CORRECTNESS budget covers every operator (r5 exposed 54 entries
+    and the artifact truncated at 50, dropping exactly these four)."""
+    dec = q_decontaminate(spark, sf_dir).select(
+        F.lit("decontaminate").alias("op"), "doc_id",
+        F.col("shared_ngrams").cast("string").alias("v"))
+    hs = q_hash_sample(spark, sf_dir).select(
+        F.lit("hash_sample").alias("op"), "doc_id", F.lit("").alias("v"))
+    st = q_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified_sample").alias("op"), "doc_id",
+        F.concat_ws("/", "lang", "source").alias("v"))
+    pi = q_pii_scrub(spark, sf_dir).select(
+        F.lit("pii_scrub").alias("op"), "doc_id", F.col("scrub_sha").alias("v"))
+    return (
+        dec.unionByName(hs).unionByName(st).unionByName(pi)
+        .orderBy("op", "doc_id")
+    )
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lighthouse_spark.pipeline import ann
 
@@ -612,6 +647,17 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.2,
         planes_mats=[np.array(m) for m in _EMB_LSH_PLANES],
     ).orderBy("id_a", "id_b")
+
+
+def q_embedding_neardup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup BOTH paths in one checked frame: brute-force
+    all-pairs cosine and the LSH sign-bucket scale path (variant-
+    tagged). Consolidated in r6 for the 50-row CORRECTNESS budget."""
+    br = q_embedding_neardup(spark, sf_dir).select(
+        F.lit("brute").alias("variant"), "id_a", "id_b", "cosine")
+    ls = q_embedding_neardup_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("variant"), "id_a", "id_b", "cosine")
+    return br.unionByName(ls).orderBy("variant", "id_a", "id_b")
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,8 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats_top": q_term_stats,
         "doc_stats": q_doc_stats,
         "prefix_expand": q_prefix_expand,
-        "fuzzy_expand": q_fuzzy_expand,
-        "fuzzy_expand_d2": q_fuzzy_expand_d2,
+        "fuzzy_expand": q_fuzzy_expand_all,
         "substring_search": q_substring_search,
         "regex_search": q_regex_search,
         "gopher_repetition": q_gopher_repetition,
@@ -1066,15 +1111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "embedding_neardup": q_embedding_neardup_all,
         "text_analysis": q_text_analysis,
         "winnowing": q_winnowing,
-        # corpus curation
-        "decontaminate": q_decontaminate,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "pii_scrub": q_pii_scrub,
+        # corpus curation (all four primitives, op-tagged — see
+        # q_curation_ops: the driver checks at most 50 entries)
+        "curation_ops": q_curation_ops,
     }
 
 
@@ -1587,16 +1629,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
             WHERE term LIKE 's%' GROUP BY term ORDER BY term LIMIT 50""",
         "fuzzy_expand": f"""
-            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
-            SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
-            WHERE levenshtein(term, 'spark') <= 1 GROUP BY term ORDER BY term""",
-        "fuzzy_expand_d2": f"""
-            WITH tok AS (SELECT unnest({_TOK}) AS term FROM documents),
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            d1 AS (
+              SELECT 'd1' AS tier, term, count(DISTINCT doc_id)::BIGINT AS v
+              FROM tok WHERE levenshtein(term, 'spark') <= 1 GROUP BY term),
             dict AS (SELECT DISTINCT term FROM tok),
             m AS (SELECT term, levenshtein(term, 'sart') AS ed FROM dict
-                  WHERE levenshtein(term, 'sart') <= 2)
-            SELECT (row_number() OVER (ORDER BY ed, term) - 1)::INT AS rank, term
-            FROM m ORDER BY rank LIMIT 50""",
+                  WHERE levenshtein(term, 'sart') <= 2),
+            d2 AS (
+              SELECT 'd2' AS tier, term,
+                     (row_number() OVER (ORDER BY ed, term) - 1)::BIGINT AS v
+              FROM m ORDER BY v LIMIT 50)
+            SELECT tier, term, v FROM d1
+            UNION ALL SELECT tier, term, v FROM d2
+            ORDER BY tier, term""",
         "substring_search": """
             SELECT doc_id FROM documents
             WHERE contains(lower(text), 'fast merge') ORDER BY doc_id""",
@@ -1689,26 +1735,37 @@ def oracle_sql() -> dict[str, str]:
         "composite_filtered_typed": _composite_oracle_sql(
             _COMPOSITE_Q, extra_where=_FILTER_TYPED_WHERE
         ),
-        "decontaminate": f"""
+        "curation_ops": f"""
             WITH norm AS (SELECT doc_id, {_TOKS_LIST} AS t FROM documents),
             csh AS (SELECT doc_id, {_SHINGLE5} AS sh FROM norm WHERE doc_id >= 15),
             cx AS (SELECT doc_id, unnest(sh) AS s FROM csh),
             rsh AS (SELECT {_SHINGLE5} AS sh FROM norm WHERE doc_id < 15),
-            refs AS (SELECT DISTINCT unnest(sh) AS s FROM rsh)
-            SELECT doc_id, count(*)::BIGINT AS shared_ngrams
-            FROM cx JOIN refs USING (s) GROUP BY doc_id ORDER BY doc_id""",
-        "hash_sample": f"""
-            SELECT doc_id FROM documents
-            WHERE {_SHA_UNIT} < 0.2 ORDER BY doc_id""",
-        "stratified_sample": f"""
-            WITH r AS (
+            refs AS (SELECT DISTINCT unnest(sh) AS s FROM rsh),
+            dec AS (
+              SELECT 'decontaminate' AS op, doc_id,
+                     (count(*)::BIGINT)::VARCHAR AS v
+              FROM cx JOIN refs USING (s) GROUP BY doc_id),
+            hs AS (
+              SELECT 'hash_sample' AS op, doc_id, '' AS v FROM documents
+              WHERE {_SHA_UNIT} < 0.2),
+            strata AS (
               SELECT doc_id, lang, source,
                      row_number() OVER (
                        PARTITION BY lang, source
                        ORDER BY {_SHA_UNIT} ASC, doc_id ASC) AS rk
-              FROM documents)
-            SELECT doc_id, lang, source FROM r WHERE rk <= 3 ORDER BY doc_id""",
-        "pii_scrub": _pii_oracle_sql(),
+              FROM documents),
+            ss AS (
+              SELECT 'stratified_sample' AS op, doc_id,
+                     lang || '/' || source AS v
+              FROM strata WHERE rk <= 3),
+            pii AS (
+              SELECT 'pii_scrub' AS op, doc_id, scrub_sha AS v
+              FROM ({_pii_oracle_sql()}))
+            SELECT op, doc_id, v FROM dec
+            UNION ALL SELECT op, doc_id, v FROM hs
+            UNION ALL SELECT op, doc_id, v FROM ss
+            UNION ALL SELECT op, doc_id, v FROM pii
+            ORDER BY op, doc_id""",
         "dedup_exact": """
             SELECT sha256(text) AS content_sha256, min(doc_id) AS doc_id,
                    count(*) AS dup_count
@@ -1760,11 +1817,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-              WHERE a.vec_id < 200 AND b.vec_id < 200)
-            SELECT id_a, id_b, round(c, 6) AS cosine FROM p
-            WHERE c >= 0.2 ORDER BY id_a, id_b""",
-        "embedding_neardup_lsh": f"""
-            WITH b AS (
+              WHERE a.vec_id < 200 AND b.vec_id < 200),
+            brute AS (
+              SELECT 'brute' AS variant, id_a, id_b, round(c, 6) AS cosine FROM p
+              WHERE c >= 0.2),
+            b AS (
               SELECT vec_id, 0 AS probe, ({_bucket_sql(_EMB_LSH_PLANES[0])}) AS bucket
               FROM embeddings WHERE vec_id < 200
               UNION ALL
@@ -1779,9 +1836,13 @@ def oracle_sql() -> dict[str, str]:
                      list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS c
               FROM cand
               JOIN embeddings ea ON ea.vec_id = id_a
-              JOIN embeddings eb ON eb.vec_id = id_b)
-            SELECT id_a, id_b, round(c, 6) AS cosine FROM scored
-            WHERE c >= 0.2 ORDER BY id_a, id_b""",
+              JOIN embeddings eb ON eb.vec_id = id_b),
+            lsh AS (
+              SELECT 'lsh' AS variant, id_a, id_b, round(c, 6) AS cosine
+              FROM scored WHERE c >= 0.2)
+            SELECT variant, id_a, id_b, cosine FROM brute
+            UNION ALL SELECT variant, id_a, id_b, cosine FROM lsh
+            ORDER BY variant, id_a, id_b""",
         "spell_suggest": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
             dict AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
