@@ -15,17 +15,24 @@ family (Turtle & Flood's MaxScore + Ding & Suel's block-max bounds),
 exact w.r.t. the exhaustive scorer:
 
   1. bootstrap threshold θ: exact-score the single highest-impact
-     term's postings (pure numpy), take its kth best;
-  2. split terms into a non-essential prefix (cumulative max impact
-     ≤ θ) and essential lists — docs appearing ONLY in the prefix
-     cannot reach θ;
-  3. candidate generation from essential lists, skipping blocks whose
+     term's postings (pure numpy), take its kth best — single-term
+     scores lower-bound full scores, so this θ is valid before
+     anything is fully scored;
+  2. term-at-a-time candidate generation with a RISING θ (the actual
+     MaxScore/BMW loop — r5 bootstrapped θ once and never raised it,
+     so dense multi-term queries degraded to exhaustive scoring):
+     process lists highest-impact first; per list, skip blocks whose
      upper bound (block_max + sum of all other terms' max impacts)
-     ≤ θ — skipped docs can still surface via another essential list,
-     and their exact score then includes every term (lookup by
-     searchsorted), so pruning never changes results;
-  4. exact-score candidates over all terms, top-k with (score desc,
-     doc_id asc) tie-break.
+     < θ, drop doc ids already exact-scored by an earlier list,
+     exact-score the new ids over ALL terms (searchsorted lookups),
+     then raise θ to the kth-best fully-scored value so far;
+  3. early exit: before list i, any still-unscored doc lives only in
+     list i or lower-impact lists, so its score is bounded by the
+     ascending cumulative impact through i — stop when that bound
+     drops below θ (docs tying θ exactly are still kept: strict <);
+  4. top-k over the scored pool with (score desc, doc_id asc)
+     tie-break. Pruning never changes results: every skipped doc has
+     a certified upper bound < θ ≤ the true kth-best score.
 
 Everything inside the kernel is numpy over decoded arrays — no
 per-document Python loops.
@@ -134,51 +141,65 @@ def _kernel(
             s += np.where(hit, t["w"] * qtfn, 0.0)
         return s
 
-    # 1. bootstrap θ from the highest-impact term alone
+    # 1. bootstrap θ from the highest-impact term alone: single-term
+    # scores lower-bound full scores, so the kth best here is ≤ the
+    # true kth-best full score — a valid pruning threshold from the
+    # start (and the only θ available before anything is fully scored).
     best = terms[order[-1]]
     boot = _score(best["tfs"], best["dls"], best["w"], avgdl)
-    if boot.size > k:
-        theta = float(np.partition(boot, boot.size - k)[boot.size - k])
-    elif boot.size:
-        theta = 0.0
-    else:
-        theta = 0.0
+    theta = (
+        float(np.partition(boot, boot.size - k)[boot.size - k])
+        if boot.size > k
+        else 0.0
+    )
 
-    # 2. essential split: prefix with cumulative max STRICTLY below θ
-    # (>= keeps float-tie edge cases exact: a doc tying θ can never be
-    # prefix-only).
-    cum = 0.0
-    essential = []
-    for t in order:
-        cum += terms[t]["max_impact"]
-        if cum >= theta:
-            essential.append(t)
-    if not essential:
-        essential = [order[-1]]
-
-    # 3. candidates from essential lists with block-max skipping
-    cands = []
-    for t in essential:
+    # 2. term-at-a-time with rising θ, highest-impact list first.
+    desc = order[::-1]
+    # suffix[i] = max possible score of a doc absent from lists <i
+    suffix = np.cumsum([terms[t]["max_impact"] for t in desc][::-1])[::-1]
+    scored_ids = np.zeros(0, dtype=np.int64)
+    scored_s = np.zeros(0, dtype=np.float64)
+    for i, t in enumerate(desc):
+        # 3. early exit: every still-unscored doc either never appeared
+        # in lists <i (score ≤ suffix[i]) or was block-skipped there
+        # (certified < the θ of that moment ≤ current θ). Strict <
+        # keeps docs tying θ exactly.
+        if scored_s.size >= k and suffix[i] < theta:
+            break
         td = terms[t]
         others = total_max - td["max_impact"]
         keep_blocks = (td["block_max"] + others) >= theta
-        if keep_blocks.all():
-            cands.append(td["ids"])
-        else:
-            cands.append(td["ids"][keep_blocks[td["block_of"]]])
-    cand = np.unique(np.concatenate(cands)) if cands else np.zeros(0, dtype=np.int64)
+        cand = (
+            td["ids"]
+            if keep_blocks.all()
+            else td["ids"][keep_blocks[td["block_of"]]]
+        )
+        if scored_ids.size and cand.size:
+            pos = np.searchsorted(scored_ids, cand)
+            pos_c = np.minimum(pos, scored_ids.size - 1)
+            cand = cand[scored_ids[pos_c] != cand]
+        if cand.size == 0:
+            continue
+        s_new = exact_scores(cand)
+        scored_ids = np.concatenate([scored_ids, cand])
+        scored_s = np.concatenate([scored_s, s_new])
+        srt = np.argsort(scored_ids, kind="mergesort")
+        scored_ids, scored_s = scored_ids[srt], scored_s[srt]
+        if scored_s.size >= k:
+            theta = max(
+                theta,
+                float(
+                    np.partition(scored_s, scored_s.size - k)[scored_s.size - k]
+                ),
+            )
 
-    # 4. exact score candidates, shard-local top-k
-    if cand.size == 0:
+    # 4. top-k over the fully-scored pool
+    if scored_ids.size == 0:
         return pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": "int64", "score": "float64"}
         )
-    s = exact_scores(cand)
-    if cand.size > k:
-        idx = np.lexsort((cand, -s))[:k]
-    else:
-        idx = np.lexsort((cand, -s))
-    return pd.DataFrame({"doc_id": cand[idx], "score": s[idx]})
+    idx = np.lexsort((scored_ids, -scored_s))[:k]
+    return pd.DataFrame({"doc_id": scored_ids[idx], "score": scored_s[idx]})
 
 
 def wand_topk(
