@@ -35,9 +35,25 @@ def main() -> None:
     from lighthouse_spark.plans.indexer import FieldSpec
     from lighthouse_spark.sources.store import build_and_save
 
+    def cpu_probe() -> float:
+        """Single-threaded pure-Python xorshift loop (~0.3 s on a quiet
+        core). Co-tenant CPU steal inflates this the same way it
+        inflates every timing below, so recording it start/end lets a
+        noisy run be identified from the artifact alone (VERDICT r5
+        wrong #2: a uniform 17-45% inflation had no load evidence)."""
+        t0 = time.perf_counter()
+        x = 88172645463325252
+        for _ in range(3_000_000):
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        return round(time.perf_counter() - t0, 4)
+
     spark = get_spark("lighthouse-bench", cpus=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict = {}
+    extra["loadavg_start"] = [round(v, 2) for v in os.getloadavg()]
+    extra["cpu_probe_start_sec"] = cpu_probe()
     t_total = time.time()
 
 
@@ -133,6 +149,27 @@ def main() -> None:
         timings["autocomplete"] = round(best2(lambda: autocomplete(
             cidx_flat, AutoCompleteRequest(s="interesting am", size=10)).collect()), 3)
 
+        # ---- store-served /search + /autocomplete (VERDICT r5 next
+        # #5): the real deployment shape — postings decoded from the
+        # persisted compressed store, ONLY the request's term universe
+        # (flat_view_terms), one dictionary round trip. Gate: within
+        # ~2x of the flat-engine keys above. ----
+        from lighthouse_spark.api.autocomplete import autocomplete_over_store
+        from lighthouse_spark.api.engine import search_over_store
+
+        ci_claims = build_and_save(
+            claims, "doc_id",
+            {k: FieldSpec(k, positions=True)
+             for k in ("name", "title", "description", "channel")},
+            f"{workdir}/claims_idx", mode="simple", n_shards=max(8, cpus // 2),
+        )
+        search_over_store(ci_claims, SearchRequest(s="warmup query", size=5)).collect()
+        timings["composite_store"] = round(best2(lambda: search_over_store(
+            ci_claims, SearchRequest(s="interesting and amazing facts", size=10)).collect()), 3)
+        autocomplete_over_store(ci_claims, AutoCompleteRequest(s="warm up", size=5)).collect()
+        timings["autocomplete_store"] = round(best2(lambda: autocomplete_over_store(
+            ci_claims, AutoCompleteRequest(s="interesting am", size=10)).collect()), 3)
+
         # ---- substring search via the trigram index (Q6 scale path;
         # new in r4 — totals are not 1:1 comparable to r3, per-query
         # keys are). The full-scan A/B rides in extra. ----
@@ -223,6 +260,12 @@ def main() -> None:
             timings["phrase_200k"] = round(best2(lambda: search.phrase(
                 flat2, "content", ["public", "static"]).orderBy(
                 "doc_id").limit(10).collect()), 3)
+            # stopword worst case (VERDICT r5 next #7): both terms at
+            # df≈corpus — the positional-adjacency path's recorded
+            # ceiling, like bench_sloppy's slop-5 figure
+            timings["phrase_dense_200k"] = round(best2(lambda: search.phrase(
+                flat2, "content", ["import", "for"]).orderBy(
+                "doc_id").limit(10).collect()), 3)
             flat2.postings.unpersist()
 
             tri2 = tri_mod.build_trigram_index(big, "doc_id", "content")
@@ -258,6 +301,8 @@ def main() -> None:
         spark.stop()
 
     total = round(time.time() - t_total, 3)
+    extra["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
+    extra["cpu_probe_end_sec"] = cpu_probe()
     print(
         json.dumps(
             {

@@ -119,11 +119,11 @@ class SearchEngine:
     def _tls(self):
         import threading
 
-        t = self.__dict__.get("_tls_store")
-        if t is None:
-            t = threading.local()
-            self.__dict__["_tls_store"] = t
-        return t
+        # dict.setdefault is atomic in CPython: two threads racing the
+        # first access both end up using the ONE stored local (the
+        # loser's fresh instance is discarded before any state lands
+        # on it) — lazy creation without a lock (ADVICE r5).
+        return self.__dict__.setdefault("_tls_store", threading.local())
 
     @property
     def _df_prefetch(self):
@@ -141,15 +141,7 @@ class SearchEngine:
     def _fuzzy_prefetch(self, v):
         self._tls.fuzzy_prefetch = v
 
-    @property
-    def _phys_fields(self):
-        return getattr(self._tls, "phys_fields", None)
-
-    @_phys_fields.setter
-    def _phys_fields(self, v):
-        self._tls.phys_fields = v
-
-    def inject_prefetch(self, df_map, fuzzy, phys_fields) -> None:
+    def inject_prefetch(self, df_map, fuzzy) -> None:
         """Pre-warmed dictionary state for THIS THREAD's next request —
         search_over_store already paid the fuzzy_and_df round trip to
         assemble the term universe, so the engine's own _prefetch
@@ -158,7 +150,6 @@ class SearchEngine:
         t = self._tls
         t.df_prefetch = df_map
         t.fuzzy_prefetch = fuzzy
-        t.phys_fields = phys_fields
         t.injected = True
 
     # ---- helpers ----------------------------------------------------------
@@ -348,7 +339,6 @@ class SearchEngine:
             for lg in ("name", "title", "description", "channel")
             if self._has(lg)
         ]
-        self._phys_fields = phys_fields
         if self.enable_fuzzy:
             self._df_prefetch, self._fuzzy_prefetch = expand.fuzzy_and_df(
                 self.index, phys_fields, terms + comp_terms
@@ -675,10 +665,5 @@ def search_over_store(
         # the universe scan above IS the engine's prefetch (superset:
         # it also covered channel/related-to terms) — inject it so the
         # request pays ONE dictionary round trip, not two
-        phys = [
-            getattr(fmap, lg)
-            for lg in ("name", "title", "description", "channel")
-            if getattr(fmap, lg) and getattr(fmap, lg) in cindex.docs.columns
-        ]
-        eng.inject_prefetch(dfm, fz, phys)
+        eng.inject_prefetch(dfm, fz)
     return eng.search(req, round_score=round_score)

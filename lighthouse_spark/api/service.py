@@ -35,18 +35,33 @@ class QueryCache:
     compute — followers block on the leader's result instead of
     duplicating the Spark job. Distinct keys compute fully in
     parallel (the lock guards only dict bookkeeping, never a
-    compute)."""
+    compute). A leader's exception is cached as a short-TTL negative
+    entry and re-raised to its followers — a persistently failing
+    query costs one Spark job per error-TTL window, never N serial
+    retries (ADVICE r5)."""
 
-    def __init__(self, max_entries: int = 10_000, ttl_seconds: float = 300.0):
+    def __init__(
+        self,
+        max_entries: int = 10_000,
+        ttl_seconds: float = 300.0,
+        error_ttl_seconds: float = 1.0,
+    ):
         import threading
 
         self.max_entries = max_entries
         self.ttl = ttl_seconds
+        self.error_ttl = error_ttl_seconds
         self._d: OrderedDict[str, tuple[float, object]] = OrderedDict()
         self._lock = threading.Lock()
         self._inflight: dict[str, object] = {}  # key -> Event of the leader
         self.hits = 0
         self.misses = 0
+
+    class _CachedError:
+        __slots__ = ("exc",)
+
+        def __init__(self, exc: BaseException):
+            self.exc = exc
 
     def fetch(self, key: str, compute):
         import threading
@@ -55,10 +70,19 @@ class QueryCache:
             with self._lock:
                 now = time.monotonic()
                 hit = self._d.get(key)
-                if hit is not None and now - hit[0] < self.ttl:
-                    self._d.move_to_end(key)
-                    self.hits += 1
-                    return hit[1]
+                if hit is not None:
+                    val = hit[1]
+                    ttl = (
+                        self.error_ttl
+                        if isinstance(val, QueryCache._CachedError)
+                        else self.ttl
+                    )
+                    if now - hit[0] < ttl:
+                        self._d.move_to_end(key)
+                        self.hits += 1
+                        if isinstance(val, QueryCache._CachedError):
+                            raise val.exc
+                        return val
                 ev = self._inflight.get(key)
                 if ev is None:
                     # we are the leader for this key
@@ -67,9 +91,19 @@ class QueryCache:
                     self.misses += 1
                     break
             # follower: wait for the leader, then re-check the cache
+            # (a cached error re-raises there instead of re-computing)
             ev.wait()
         try:
-            val = compute()
+            try:
+                val = compute()
+            except BaseException as e:
+                with self._lock:
+                    self._d[key] = (
+                        time.monotonic(),
+                        QueryCache._CachedError(e),
+                    )
+                    self._d.move_to_end(key)
+                raise
             with self._lock:
                 self._d[key] = (time.monotonic(), val)
                 self._d.move_to_end(key)

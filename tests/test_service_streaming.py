@@ -119,6 +119,48 @@ def test_query_cache_single_flight_threads():
     assert len(calls) == 1 and c.misses == 1 and c.hits == 5
 
 
+def test_query_cache_leader_failure_propagates():
+    """A failing leader's exception reaches its followers as-is (ONE
+    compute, not N serial retries), is served from the short-TTL
+    negative entry until it expires, then a fresh leader retries
+    (ADVICE r5)."""
+    import threading
+
+    c = QueryCache(error_ttl_seconds=0.2)
+    calls = []
+    gate = threading.Event()
+
+    def compute():
+        calls.append(1)
+        gate.wait(1.0)
+        raise ValueError("boom")
+
+    errs = []
+
+    def run():
+        try:
+            c.fetch("k", compute)
+        except ValueError as e:
+            errs.append(str(e))
+
+    ts = [threading.Thread(target=run) for _ in range(5)]
+    for t in ts:
+        t.start()
+    time.sleep(0.1)
+    gate.set()
+    for t in ts:
+        t.join()
+    assert errs == ["boom"] * 5
+    assert len(calls) == 1  # followers re-raised, never re-computed
+    # fresh request inside the error TTL: still the cached error
+    with pytest.raises(ValueError):
+        c.fetch("k", lambda: "never")
+    assert len(calls) == 1
+    # after expiry a new leader retries and can succeed
+    time.sleep(0.25)
+    assert c.fetch("k", lambda: "recovered") == "recovered"
+
+
 def test_service_autocomplete(service):
     names = service.autocomplete(AutoCompleteRequest(s="cr", size=5))
     assert isinstance(names, list)
