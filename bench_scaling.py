@@ -24,6 +24,51 @@ import time
 
 N_DOCS = int(os.environ.get("SCALING_N_DOCS", "80000"))
 N_SMALL = int(os.environ.get("SCALING_N", "8"))
+# Probe gate (VERDICT r5 next #4): this VM's 8-vs-32-process pure-CPU
+# ceiling swings 2.8x-4.05x within the hour with co-tenant load; Spark
+# scaling rows measured in sub-3.5x windows are noise, not signal.
+# The probe runs FIRST and the bench refuses to record a row below
+# the gate — "quiet window" is protocol now, not narrative.
+MIN_PROBE = float(os.environ.get("SCALING_MIN_PROBE", "3.5"))
+
+_PROBE_CHILD = r"""
+import os, sys, time
+# single-threaded pure-Python work: no BLAS threads (a numpy matmul
+# here oversubscribes at 32 procs and fakes a ~1.1x ceiling)
+x = 88172645463325252
+t0 = time.perf_counter()
+for _ in range(4_000_000):
+    x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 7
+    x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+print(time.perf_counter() - t0)
+"""
+
+
+def _probe_level(nproc: int) -> float:
+    """Aggregate throughput (work-units/s) of `nproc` concurrent
+    single-threaded pure-Python processes."""
+    env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen([sys.executable, "-c", _PROBE_CHILD],
+                         stdout=subprocess.PIPE, env=env)
+        for _ in range(nproc)
+    ]
+    for p in procs:
+        p.wait()
+    return nproc / (time.perf_counter() - t0)
+
+
+def cpu_ceiling_probe() -> float:
+    """8-vs-32-process pure-CPU throughput ratio (ideal 4.0 on 32
+    cores). Interleaved small,big,small,big; best per level."""
+    s1 = _probe_level(N_SMALL)
+    b1 = _probe_level(N_SMALL * 4)
+    s2 = _probe_level(N_SMALL)
+    b2 = _probe_level(N_SMALL * 4)
+    return max(b1, b2) / max(s1, s2)
 QUERIES = ["the return license", "getUserName parseHttpRequest", "sparklight", "sym7 sym42 merge"]
 
 # The WORK is identical at both levels: same corpus partitioning, same
@@ -96,6 +141,16 @@ def main() -> None:
     # SCALING_ROUNDS=1 runs each level once (each child still does a
     # warmup build + best-of-2 timed builds internally).
     rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    probe = cpu_ceiling_probe()
+    if probe < MIN_PROBE and "--force" not in sys.argv:
+        print(json.dumps({
+            "metric": "scaling_efficiency_build_throughput",
+            "gated": True,
+            "cpu_probe_ratio": round(probe, 3),
+            "min_probe": MIN_PROBE,
+            "note": "co-tenant window — no row recorded; retry when quiet",
+        }))
+        return
     small = run_level(N_SMALL)
     big = run_level(N_SMALL * 4)
     for _ in range(rounds - 1):
@@ -120,6 +175,7 @@ def main() -> None:
         },
         "efficiency": round(eff, 3),
         "rank_identical_across_levels": identical,
+        "cpu_probe_ratio": round(probe, 3),
     }
     print(json.dumps(out))
     if "--update-baseline" in sys.argv:
@@ -127,7 +183,8 @@ def main() -> None:
             f"| measured {time.strftime('%Y-%m-%d')} | {N_DOCS} docs | "
             f"local[{N_SMALL}]: {out['levels'][f'local[{N_SMALL}]']['docs_per_sec']} docs/s | "
             f"local[{N_SMALL*4}]: {out['levels'][f'local[{N_SMALL*4}]']['docs_per_sec']} docs/s | "
-            f"efficiency {out['efficiency']} | rank-identical: {identical} |\n"
+            f"efficiency {out['efficiency']} | rank-identical: {identical} | "
+            f"cpu-probe {out['cpu_probe_ratio']}x |\n"
         )
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md"), "a") as f:
             f.write(row)
