@@ -36,9 +36,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def drop_page_cache(*roots: str) -> None:
+    """Evict every parquet byte under `roots` from the OS page cache
+    (sync first so dirty pages become droppable). With CROSS_COLD=1
+    this runs before EVERY timed query, so each scan/index read pays
+    real block-device IO — the r5 crossover table's honest gap was
+    that every corpus fit in page cache (VERDICT r5 next #8)."""
+    os.sync()
+    for root in roots:
+        for dp, _, fs in os.walk(root):
+            for f in fs:
+                fd = os.open(os.path.join(dp, f), os.O_RDONLY)
+                try:
+                    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                finally:
+                    os.close(fd)
+
+
 def main() -> None:
     n_docs = int(os.environ.get("CROSS_N_DOCS", "1000000"))
     rich = os.environ.get("CROSS_RICH", "0") == "1"
+    cold = os.environ.get("CROSS_COLD", "0") == "1"
 
     from lighthouse_spark import get_spark
     from lighthouse_spark.operators import trigram
@@ -46,7 +64,10 @@ def main() -> None:
 
     spark = get_spark("trigram-crossover")
     work = tempfile.mkdtemp(prefix="tri_cross_")
-    out: dict = {"metric": "trigram_crossover", "n_docs": n_docs, "rich": rich}
+    out: dict = {
+        "metric": "trigram_crossover", "n_docs": n_docs, "rich": rich,
+        "cold_io": cold,
+    }
     try:
         # ---- materialize the corpus on disk (not timed), ID-SORTED
         # (repartitionByRange + sortWithinPartitions on doc_id — the
@@ -101,16 +122,21 @@ def main() -> None:
         trigram.substring_search(docs, "doc_id", "content", "license", None).count()
 
         spark.catalog.clearCache()
+        cache_roots = (corpus_path, f"{work}/tri")
         for cls, needle in needles.items():
             idx_t, scan_t = float("inf"), float("inf")
             hits = None
             for _ in range(2):  # interleaved best-of-2
+                if cold:
+                    drop_page_cache(*cache_roots)
                 t0 = time.time()
                 hits = trigram.substring_search(
                     docs, "doc_id", "content", needle, tri,
                     fetch_ids_max=trigram._FETCH_IDS_MAX,
                 ).count()
                 idx_t = min(idx_t, time.time() - t0)
+                if cold:
+                    drop_page_cache(*cache_roots)
                 t0 = time.time()
                 scan_hits = trigram.substring_search(
                     docs, "doc_id", "content", needle, None
