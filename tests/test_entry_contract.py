@@ -8,13 +8,16 @@ order-insensitively after sorting columns by name, like the driver.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 for suite speed; ENTRY_SF_DIR=/root/testdata/sf0.01
+# reproduces the driver's exact scale as a pre-flight sweep
+SF_DIR = os.environ.get("ENTRY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
