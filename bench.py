@@ -49,11 +49,33 @@ def main() -> None:
             x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
         return round(time.perf_counter() - t0, 4)
 
-    spark = get_spark("lighthouse-bench", cpus=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
     extra: dict = {}
+
+    # Bounded quiet-window wait (VERDICT r5 wrong #2): if the run
+    # starts inside a co-tenant burst, the first half's keys inflate
+    # 20-50% and read as a code regression. Before building anything,
+    # poll the probe for up to BENCH_QUIET_WAIT_S seconds (default 180,
+    # 0 disables) and start when it reads within 25% of the best sample
+    # seen — a burst at minute 0 costs a bounded wait instead of the
+    # round's artifact. The wait itself is recorded.
+    wait_budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "180"))
+    # measured quiet floor of this probe on this box: 0.64-0.68 s
+    # (BASELINE.md round-6 hand run); >1.15x that = a burst in progress
+    quiet_s = float(os.environ.get("BENCH_QUIET_PROBE_S", "0.78"))
+    t_wait = time.time()
+    p = cpu_probe()
+    floor = p
+    while wait_budget and time.time() - t_wait < wait_budget and p > quiet_s:
+        time.sleep(10)
+        p = cpu_probe()
+        floor = min(floor, p)
+    extra["quiet_wait_sec"] = round(time.time() - t_wait, 1)
+    extra["quiet_wait_probe_floor_sec"] = floor
+
+    spark = get_spark("lighthouse-bench", cpus=cpus, shuffle_partitions=cpus)
     extra["loadavg_start"] = [round(v, 2) for v in os.getloadavg()]
-    extra["cpu_probe_start_sec"] = cpu_probe()
+    extra["cpu_probe_start_sec"] = p
     extra["cpu_probes"] = {}
     t_total = time.time()
 
