@@ -134,7 +134,43 @@ def _encode_group(pdf: pd.DataFrame, block_size: int, avgdl_map: dict[str, float
 
     has_pos = "positions" in pdf.columns and pdf["positions"].notna().any()
     pos_enc: list[bytes | None]
-    if has_pos:
+    if has_pos and pdf["positions"].notna().all():
+        # Fully vectorized position payloads (97% of encode CPU as a
+        # per-doc loop): all docs' [n, p0, gap...] streams concatenate
+        # into ONE uint64 array, varint-encoded in one pass, then each
+        # block's payload is a byte-offset slice — byte-identical to
+        # per-block codec.encode_positions (pinned by test_codec).
+        arrs = [np.asarray(a, dtype=np.int64) for a in pdf["positions"]]
+        plens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+        total = int(plens.sum())
+        flat = np.concatenate(arrs) if total else np.zeros(0, dtype=np.int64)
+        # output slot layout: per doc, one count slot + plens[i] values
+        doc_out_start = np.zeros(n, dtype=np.int64)
+        np.cumsum(plens[:-1] + 1, out=doc_out_start[1:])
+        stream = np.empty(total + n, dtype=np.uint64)
+        stream[doc_out_start] = plens.astype(np.uint64)
+        if total:
+            d = np.empty(total, dtype=np.int64)
+            d[0] = flat[0]
+            d[1:] = flat[1:] - flat[:-1]
+            doc_flat_start = np.zeros(n, dtype=np.int64)
+            np.cumsum(plens[:-1], out=doc_flat_start[1:])
+            fs = doc_flat_start[plens > 0]
+            d[fs] = flat[fs]  # absolute first position per doc
+            val_mask = np.ones(total + n, dtype=bool)
+            val_mask[doc_out_start] = False
+            stream[val_mask] = d.astype(np.uint64)
+        p_buf, p_len = codec.varint_encode_with_lengths(stream)
+        doc_bytes = np.add.reduceat(p_len, doc_out_start)
+        doc_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(doc_bytes, out=doc_off[1:])
+        p_mv = memoryview(p_buf)
+        pos_enc = [
+            bytes(p_mv[doc_off[s] : doc_off[e]]) for s, e in zip(starts, ends)
+        ]
+    elif has_pos:
+        # mixed None/non-None docs (not produced by any current build
+        # path): legacy per-block encode
         poss = pdf["positions"].tolist()
         pos_enc = []
         for s, e in zip(starts, ends):
