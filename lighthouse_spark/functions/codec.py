@@ -145,13 +145,34 @@ def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:
 
 
 def decode_positions(buf: bytes, n_docs: int) -> list[np.ndarray]:
+    """Inverse of encode_positions. Vectorized: one segmented cumsum
+    over all docs' gap values, split into per-doc views — the only
+    per-doc Python work is the sequential [n, ...] boundary scan
+    (inherent: each count locates the next). Returned arrays are views
+    into one buffer; callers copy (asarray/astype) before mutating."""
     flat = varint_decode(buf).astype(np.int64)
-    out = []
+    if n_docs == 0:
+        return []
+    fl = flat.tolist()
+    starts = np.empty(n_docs, dtype=np.int64)
+    lens = np.empty(n_docs, dtype=np.int64)
     i = 0
-    for _ in range(n_docs):
-        n = int(flat[i])
-        i += 1
-        p = np.cumsum(flat[i : i + n])
-        out.append(p)
-        i += n
-    return out
+    for k in range(n_docs):
+        starts[k] = i
+        n = fl[i]
+        lens[k] = n
+        i += n + 1
+    mask = np.ones(flat.size, dtype=bool)
+    mask[starts] = False
+    g = np.cumsum(flat[mask])
+    vstart = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=vstart[1:])
+    # subtract the running total accumulated by PRIOR docs (the first
+    # doc needs no correction; later docs' corrections are g just
+    # before their first value)
+    if g.size:
+        corr = np.where(vstart > 0, g[np.maximum(vstart - 1, 0)], 0)
+        res = g - np.repeat(corr, lens)
+    else:  # every doc has zero positions
+        res = g
+    return np.split(res, vstart[1:])
