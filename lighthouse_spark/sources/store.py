@@ -785,9 +785,9 @@ def save_index(
         flat = flat.persist()
         flat.count()
     # doc_stats lineage is one row per doc pre-explode (no shuffle);
-    # term_stats partial-aggregates off the flat postings
+    # term_stats is derived later from the encoded blocks' metadata
+    # (see w_term_stats) — no second pass over the flat postings
     doc_stats = index.doc_stats
-    term_stats = flat.groupBy("field", "term").agg(F.count("*").alias("df"))
 
     # Every scalar (doc/bucket counts, corpus stats, shard metrics)
     # rides its write as an Observation — zero separate aggregation
@@ -844,10 +844,19 @@ def save_index(
         )
 
     def w_term_stats():
-        # term dictionary: range-partitioned + sorted by term for pruning
+        # term dictionary DERIVED from the encoded blocks' metadata:
+        # df(term) = sum of block n_docs (every posting lands in
+        # exactly one block), read from ~postings/block_size parquet
+        # rows (3 columns) instead of a second aggregation pass over
+        # the full flat postings — at 10^12 docs that second scan is
+        # a whole extra corpus-postings read. Runs AFTER the postings
+        # write. Range-partitioned + sorted by term for pruning.
         tp = term_partitions or max(2, n_shards // 2)
         (
-            term_stats.repartitionByRange(tp, "field", "term")
+            spark.read.parquet(f"{path}/{dirs['postings']}")
+            .groupBy("field", "term")
+            .agg(F.sum("n_docs").cast("long").alias("df"))
+            .repartitionByRange(tp, "field", "term")
             .sortWithinPartitions("field", "term")
             .write.mode("overwrite")
             .parquet(f"{path}/{dirs['term_stats']}")
@@ -857,7 +866,6 @@ def save_index(
     with ThreadPoolExecutor(max_workers=3) as ex:
         f_docs = ex.submit(w_docs)
         f_ds = ex.submit(w_doc_stats)
-        f_ts = ex.submit(w_term_stats)
         f_ds.result()  # corpus stats gate the encode
         vals = obs_ds.get
         corpus = {}
@@ -894,6 +902,7 @@ def save_index(
             .partitionBy("shard")
             .parquet(f"{path}/{dirs['postings']}")
         )
+        f_ts = ex.submit(w_term_stats)  # needs the postings just written
         f_docs.result()
         f_ts.result()
     if not index._intermediates:
@@ -1146,7 +1155,6 @@ def build_resumable(
     ds_all = spark.read.parquet(
         *[f"{ckdir}/slice_{s}/doc_stats" for s in range(n_slices)]
     )
-    term_stats = flat.groupBy("field", "term").agg(F.count("*").alias("df"))
 
     obs_docs = Observation()
     obs_blocks = Observation()
@@ -1170,9 +1178,14 @@ def build_resumable(
         ds_all.write.mode("overwrite").parquet(f"{path}/{dirs['doc_stats']}")
 
     def w_ts():
+        # derived from the encoded blocks' n_docs metadata (same as
+        # save_index.w_term_stats) — runs after w_blocks
         tp = term_partitions or max(2, n_shards // 2)
         (
-            term_stats.repartitionByRange(tp, "field", "term")
+            spark.read.parquet(f"{path}/{dirs['postings']}")
+            .groupBy("field", "term")
+            .agg(F.sum("n_docs").cast("long").alias("df"))
+            .repartitionByRange(tp, "field", "term")
             .sortWithinPartitions("field", "term")
             .write.mode("overwrite")
             .parquet(f"{path}/{dirs['term_stats']}")
@@ -1203,7 +1216,10 @@ def build_resumable(
         )
 
     with ThreadPoolExecutor(max_workers=4) as ex:
-        for fut in [ex.submit(w) for w in (w_docs, w_ds_final, w_ts, w_blocks)]:
+        futs = [ex.submit(w) for w in (w_docs, w_ds_final, w_blocks)]
+        futs[-1].result()  # w_ts derives from the written postings
+        futs.append(ex.submit(w_ts))
+        for fut in futs:
             fut.result()
 
     dvals = obs_docs.get

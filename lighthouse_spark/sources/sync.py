@@ -622,9 +622,16 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
         )
 
     def w_term_stats():
+        # derived from the MERGED blocks' n_docs metadata (ground
+        # truth for the compacted corpus — same derivation as
+        # save_index.w_term_stats) instead of materializing the
+        # base+signed-delta live view; runs after w_postings
         tp = max(2, n_shards // 2)
         (
-            cindex.term_stats.repartitionByRange(tp, "field", "term")
+            spark.read.parquet(f"{cindex.path}/{new_dirs['postings']}")
+            .groupBy("field", "term")
+            .agg(F.sum("n_docs").cast("long").alias("df"))
+            .repartitionByRange(tp, "field", "term")
             .sortWithinPartitions("field", "term")
             .write.mode("overwrite")
             .parquet(f"{cindex.path}/{new_dirs['term_stats']}")
@@ -633,8 +640,12 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=3) as ex:
-        for f in [ex.submit(w) for w in (w_postings, w_doc_stats, w_term_stats)]:
-            f.result()
+        f_post = ex.submit(w_postings)
+        f_ds = ex.submit(w_doc_stats)
+        f_post.result()
+        f_ts = ex.submit(w_term_stats)
+        f_ds.result()
+        f_ts.result()
 
     bvals = obs_blocks.get
     man["metrics"]["shards"] = {
