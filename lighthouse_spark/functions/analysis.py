@@ -140,6 +140,50 @@ def term_freqs_udf(mode: str = "simple"):
     return _tf
 
 
+def term_postings_udf(mode: str = "simple"):
+    """Pandas UDF: text -> struct<dl, terms, tfs, poss> — the
+    positional analogue of term_freqs_udf.
+
+    Aggregates per-doc term frequencies AND occurrence positions
+    inside the Arrow batch, so building positional postings needs no
+    token-level explode + groupBy + collect_list shuffle — at 10^12
+    docs that shuffle moves one row PER OCCURRENCE (the largest
+    shuffle in a positional build) where this moves one array entry
+    per distinct term. Parallel arrays (terms/tfs/poss), not a map,
+    so the build can arrays_zip + explode JVM-side."""
+    if mode not in MODES:
+        raise ValueError(f"unknown analyzer mode {mode!r}")
+
+    @F.pandas_udf(
+        "struct<dl: long, terms: array<string>, tfs: array<int>,"
+        " poss: array<array<int>>>"
+    )
+    def _tp(s: pd.Series) -> pd.DataFrame:
+        toks = tokenize_pandas(s, mode)
+        terms_l, tfs_l, poss_l = [], [], []
+        for t in toks:
+            d: dict = {}
+            for i, w in enumerate(t):
+                ps = d.get(w)
+                if ps is None:
+                    d[w] = [i]
+                else:
+                    ps.append(i)
+            terms_l.append(list(d))
+            tfs_l.append([len(v) for v in d.values()])
+            poss_l.append(list(d.values()))
+        return pd.DataFrame(
+            {
+                "dl": toks.str.len().astype("int64"),
+                "terms": terms_l,
+                "tfs": tfs_l,
+                "poss": poss_l,
+            }
+        )
+
+    return _tp
+
+
 # --- reference-parity string helpers -------------------------------------
 
 _STRIP_NAME = re.compile(r"(-|_|\bThe\b|\bthe\b|&)")

@@ -12,9 +12,10 @@ as four DataFrames:
 
 Design notes for 100 TB scale:
 
-- Tokenization is a single Arrow-batched pandas UDF; positions are
-  recovered with ``posexplode`` JVM-side, so the Python boundary is one
-  column in, one array column out.
+- Tokenization is a single Arrow-batched pandas UDF that aggregates
+  per-doc (term, tf[, positions]) INSIDE the batch — postings explode
+  from one array entry per distinct term JVM-side; no token-level
+  shuffle exists anywhere in the build.
 - ``dl`` (document field length — Lucene's "norm") is DENORMALIZED into
   the posting row at build time. This removes the doc_stats join from
   the query path entirely: scoring needs only the postings rows for the
@@ -35,7 +36,7 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lighthouse_spark.functions.analysis import term_freqs_udf, tokens_col
+from lighthouse_spark.functions.analysis import term_freqs_udf, term_postings_udf
 
 K1 = 1.2
 B = 0.75
@@ -96,33 +97,6 @@ class InvertedIndex:
         return self.docs.sparkSession
 
 
-def _tokens(docs: DataFrame, doc_id_col: str, fields: dict[str, FieldSpec], mode: str) -> DataFrame:
-    """(doc_id, field, dl, pos, term) — one stream unioned over fields.
-
-    dl (the doc's field length) is F.size(tokens) computed BEFORE the
-    explode — rides along each token row, so no window/join shuffle is
-    ever needed to attach it to postings."""
-    parts = []
-    for name, spec in fields.items():
-        toks = tokens_col(spec.column, mode)
-        parts.append(
-            docs.select(
-                F.col(doc_id_col).alias("doc_id"),
-                F.lit(name).alias("field"),
-                toks.alias("_toks"),
-            )
-            .withColumn("dl", F.size("_toks").cast("long"))
-            .select(
-                "doc_id", "field", "dl",
-                F.posexplode("_toks").alias("pos", "term"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
 def build_index(
     docs: DataFrame,
     doc_id_col: str,
@@ -178,19 +152,44 @@ def build_index(
                 )
             )
     if pos_specs:
-        # Positional fields keep the explode path (positions must be
-        # collected per occurrence).
-        tokens = _tokens(docs, doc_id_col, pos_specs, mode)
-        grouped = tokens.groupBy("field", "term", "doc_id").agg(
-            F.count("*").alias("tf"),
-            F.first("dl").alias("dl"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
-        p = grouped.select("field", "term", "doc_id", "tf", "dl", "positions")
-        if not any_positions:
-            p = p.drop("positions")
-        parts.append(p)
-        ds_parts.append(p.select("doc_id", "field", "dl").distinct())
+        # Positional fields: the same shuffle-free per-doc aggregate
+        # as the tf path, with occurrence positions collected inside
+        # the tokenizer UDF — no token-level explode + groupBy +
+        # collect_list (that shuffle moves one row per OCCURRENCE; at
+        # 10^12 docs it is the largest shuffle in a positional build).
+        tpu = term_postings_udf(mode)
+        for name, spec in pos_specs.items():
+            agg = docs.select(
+                F.col(doc_id_col).alias("doc_id"),
+                F.lit(name).alias("field"),
+                tpu(F.col(spec.column)).alias("_s"),
+            )
+            if cache_agg:
+                agg = agg.persist()
+                intermediates.append(agg)
+            p = (
+                agg.select(
+                    "doc_id", "field", F.col("_s.dl").alias("dl"),
+                    F.col("_s.terms").alias("_terms"),
+                    F.col("_s.tfs").alias("_tfs"),
+                    F.col("_s.poss").alias("_poss"),
+                )
+                .select(
+                    "doc_id", "field", "dl",
+                    F.explode(F.arrays_zip("_terms", "_tfs", "_poss")).alias("z"),
+                )
+                .select(
+                    "field", F.col("z._terms").alias("term"), "doc_id",
+                    F.col("z._tfs").cast("long").alias("tf"), "dl",
+                    F.col("z._poss").alias("positions"),
+                )
+            )
+            parts.append(p)
+            ds_parts.append(
+                agg.select("doc_id", "field", F.col("_s.dl").alias("dl")).filter(
+                    F.col("dl") > 0
+                )
+            )
 
     postings = parts[0]
     for p in parts[1:]:
