@@ -777,10 +777,34 @@ def save_index(
     # so the independent writers below can run CONCURRENTLY without
     # racing to compute the tokenizer lineage. (The naive lineage would
     # re-run the tokenizer UDF once per downstream action — 5x the CPU.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
     flat = index.postings
+    corpus: dict[str, tuple[int, float]] = {}
+    total_dls: dict[str, int] = {}
     if index._intermediates:
+        # corpus stats (n_docs, avgdl per field) ride the per-doc
+        # aggregates' OWN materialization as Observations — the encode
+        # is gated only by this first job, not by the doc_stats write
+        # (one fewer serial stage on the build's critical path; serial
+        # job latency is what caps N->4N scaling efficiency). Each
+        # intermediate is one field's (doc_id, field, _s) aggregate.
         for a in index._intermediates:
-            a.count()
+            o = Observation()
+            a.observe(
+                o,
+                F.first("field").alias("fld"),
+                F.count(F.when(F.col("_s.dl") > 0, F.lit(1))).alias("n"),
+                F.sum("_s.dl").alias("dl"),
+            ).count()
+            v = o.get
+            n = int(v["n"] or 0)
+            dl = int(v["dl"] or 0)
+            if n:
+                corpus[str(v["fld"])] = (n, dl / n)
+                total_dls[str(v["fld"])] = dl
     else:
         flat = flat.persist()
         flat.count()
@@ -790,16 +814,11 @@ def save_index(
     doc_stats = index.doc_stats
 
     # Every scalar (doc/bucket counts, corpus stats, shard metrics)
-    # rides its write as an Observation — zero separate aggregation
-    # jobs. The three independent writes (docs / doc_stats /
-    # term_stats) are submitted from driver threads and run in
-    # parallel; only the postings encode waits, and only on doc_stats
-    # (it needs avgdl). Serial scheduling latency is what caps N→4N
-    # scaling efficiency, so the critical path is tokenize → doc_stats
-    # → encode, with everything else overlapped.
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark.sql import Observation
+    # rides a write or the aggregate materialization as an Observation
+    # — zero separate aggregation jobs. The independent writes (docs /
+    # doc_stats / term_stats) run from driver threads; the postings
+    # encode waits on the doc_stats write ONLY when no cached per-doc
+    # aggregate exists to observe (cache_agg=False).
 
     field_names = sorted(index.fields)
     obs_docs = Observation()
@@ -866,16 +885,17 @@ def save_index(
     with ThreadPoolExecutor(max_workers=3) as ex:
         f_docs = ex.submit(w_docs)
         f_ds = ex.submit(w_doc_stats)
-        f_ds.result()  # corpus stats gate the encode
-        vals = obs_ds.get
-        corpus = {}
-        total_dls = {}
-        for fn in field_names:
-            n = int(vals[f"n_{fn}"] or 0)
-            dl = int(vals[f"dl_{fn}"] or 0)
-            if n:
-                corpus[fn] = (n, dl / n)
-                total_dls[fn] = dl
+        if not corpus:
+            # no cached per-doc aggregate to observe: corpus stats
+            # ride the doc_stats write, which then gates the encode
+            f_ds.result()
+            vals = obs_ds.get
+            for fn in field_names:
+                n = int(vals[f"n_{fn}"] or 0)
+                dl = int(vals[f"dl_{fn}"] or 0)
+                if n:
+                    corpus[fn] = (n, dl / n)
+                    total_dls[fn] = dl
 
         # postings blocks: group by (shard, field) and encode in pandas
         avgdl_map = {f: v[1] for f, v in corpus.items()}
@@ -904,6 +924,7 @@ def save_index(
         )
         f_ts = ex.submit(w_term_stats)  # needs the postings just written
         f_docs.result()
+        f_ds.result()
         f_ts.result()
     if not index._intermediates:
         flat.unpersist()
