@@ -152,7 +152,14 @@ def main() -> None:
             docs, "doc_id", {"text": FieldSpec("text", positions=True)}, "simple",
             cache_agg=True,
         )
-        flat.postings.persist().count()
+        # serving shape for a flat index: postings AND the vocab-sized
+        # stats cached (term_stats recomputed per query would rescan
+        # the whole postings cache — or re-tokenize, once intermediates
+        # are released)
+        flat.cache()
+        flat.postings.count(); flat.term_stats.count(); flat.doc_stats.count()
+        flat.corpus_stats()
+        flat.unpersist_intermediates()
         search.phrase(flat, "text", ["big", "data"]).orderBy("doc_id").limit(10).collect()
         timings["phrase"] = round(best2(lambda: search.phrase(
             flat, "text", ["big", "data"]).orderBy("doc_id").limit(10).collect()), 3)
@@ -293,12 +300,19 @@ def main() -> None:
                 big, "doc_id", {"content": FieldSpec("content", positions=True)},
                 "code", cache_agg=True,
             )
-            flat2.postings.persist().count()
-            search.phrase(flat2, "content", ["public", "static"]).orderBy(
+            flat2.cache()
+            flat2.postings.count(); flat2.term_stats.count(); flat2.doc_stats.count()
+            flat2.corpus_stats()
+            flat2.unpersist_intermediates()
+            # r6: the old needle ["public","static"] is NOT in the
+            # synthetic vocab — that key measured the df=0 early-exit,
+            # not the adjacency kernel (not comparable to r5's value).
+            # ["return","license"] are both present (dense + moderate).
+            search.phrase(flat2, "content", ["return", "license"]).orderBy(
                 "doc_id"
             ).limit(10).collect()
             timings["phrase_200k"] = round(best2(lambda: search.phrase(
-                flat2, "content", ["public", "static"]).orderBy(
+                flat2, "content", ["return", "license"]).orderBy(
                 "doc_id").limit(10).collect()), 3)
             # stopword worst case (VERDICT r5 next #7): both terms at
             # df≈corpus — the positional-adjacency path's recorded
@@ -306,7 +320,8 @@ def main() -> None:
             timings["phrase_dense_200k"] = round(best2(lambda: search.phrase(
                 flat2, "content", ["import", "for"]).orderBy(
                 "doc_id").limit(10).collect()), 3)
-            flat2.postings.unpersist()
+            for _df in (flat2.postings, flat2.term_stats, flat2.doc_stats):
+                _df.unpersist()
 
             tri2 = tri_mod.build_trigram_index(big, "doc_id", "content")
             tri2 = (tri2[0].persist(), tri2[1].persist())
