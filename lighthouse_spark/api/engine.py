@@ -119,10 +119,16 @@ class SearchEngine:
     def _tls(self):
         import threading
 
-        # dict.setdefault is atomic in CPython: two threads racing the
-        # first access both end up using the ONE stored local (the
-        # loser's fresh instance is discarded before any state lands
-        # on it) — lazy creation without a lock (ADVICE r5).
+        # Fast path: setdefault evaluates its default EAGERLY, so an
+        # unguarded call would construct-and-discard a threading.local
+        # on every access (several per request via the prefetch
+        # properties) — probe with .get first (ADVICE r6). setdefault
+        # stays for the first install: it is atomic in CPython, so two
+        # threads racing it both end up using the ONE stored local
+        # (ADVICE r5).
+        t = self.__dict__.get("_tls_store")
+        if t is not None:
+            return t
         return self.__dict__.setdefault("_tls_store", threading.local())
 
     @property

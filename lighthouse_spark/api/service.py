@@ -63,6 +63,17 @@ class QueryCache:
         def __init__(self, exc: BaseException):
             self.exc = exc
 
+        def copy(self) -> BaseException:
+            # Re-raising the SAME exception object from many threads
+            # mutates its shared __traceback__ concurrently; hand each
+            # raiser a shallow copy instead (ADVICE r6).
+            import copy as _copy
+
+            try:
+                return _copy.copy(self.exc)
+            except Exception:
+                return self.exc
+
     def fetch(self, key: str, compute):
         import threading
 
@@ -81,7 +92,7 @@ class QueryCache:
                         self._d.move_to_end(key)
                         self.hits += 1
                         if isinstance(val, QueryCache._CachedError):
-                            raise val.exc
+                            raise val.copy()
                         return val
                 ev = self._inflight.get(key)
                 if ev is None:
@@ -103,6 +114,11 @@ class QueryCache:
                         QueryCache._CachedError(e),
                     )
                     self._d.move_to_end(key)
+                    # trim on the error path too, or a stream of
+                    # distinct failing keys grows past max_entries
+                    # until a success happens to insert (ADVICE r6)
+                    while len(self._d) > self.max_entries:
+                        self._d.popitem(last=False)
                 raise
             with self._lock:
                 self._d[key] = (time.monotonic(), val)
