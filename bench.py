@@ -52,6 +52,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict = {}
 
+    # ---- per-section refusal gate (VERDICT r6 next #1) -----------------
+    # bench_scaling.py refuses sub-ceiling windows; give bench.py the
+    # same teeth. Every section is bracketed by pure-CPU probes:
+    #   gate(tag, *keys) — runs BEFORE the section; its FIRST probe
+    #     closes the bracket of the PREVIOUS section, then it
+    #     waits/retries (bounded by BENCH_SECTION_WAIT_S) until the
+    #     probe is within BENCH_DIRTY_RATIO of the running floor.
+    # At the end, a key is marked contaminated when EITHER bracketing
+    # probe of its section exceeds the whole-run probe floor by the
+    # dirty ratio — the artifact then says exactly which keys a
+    # co-tenant burst inflated instead of reading as a regression.
+    section_wait = float(os.environ.get("BENCH_SECTION_WAIT_S", "60"))
+    dirty_ratio = float(os.environ.get("BENCH_DIRTY_RATIO", "1.10"))
+    # [tag, keys, p_before, p_after?] — p_after appended by next gate
+    _sections: list[list] = []
+    _probe_min = [float("inf")]
+
     # Bounded quiet-window wait (VERDICT r5 wrong #2): if the run
     # starts inside a co-tenant burst, the first half's keys inflate
     # 20-50% and read as a code regression. Before building anything,
@@ -72,6 +89,7 @@ def main() -> None:
         floor = min(floor, p)
     extra["quiet_wait_sec"] = round(time.time() - t_wait, 1)
     extra["quiet_wait_probe_floor_sec"] = floor
+    _probe_min[0] = floor
 
     spark = get_spark("lighthouse-bench", cpus=cpus, shuffle_partitions=cpus)
     extra["loadavg_start"] = [round(v, 2) for v in os.getloadavg()]
@@ -79,12 +97,35 @@ def main() -> None:
     extra["cpu_probes"] = {}
     t_total = time.time()
 
-    def probe(tag: str) -> None:
+    def probe(tag: str) -> float:
         """Interleave the pure-CPU probe BETWEEN sections (VERDICT r5
         next #2): a co-tenant burst that lands mid-run then shows up
         against the exact keys it inflated, instead of hiding between
         one start and one end sample."""
-        extra["cpu_probes"][tag] = cpu_probe()
+        v = cpu_probe()
+        _probe_min[0] = min(_probe_min[0], v)
+        extra["cpu_probes"][tag] = v
+        return v
+
+    def gate(tag: str, *keys: str) -> None:
+        """Refusal gate before the section timing `keys`. The first
+        probe closes the previous section's bracket (pre-wait, so a
+        burst that ran DURING that section is not hidden by waiting
+        it out); then wait/retry up to `section_wait` seconds for the
+        probe to come back within `dirty_ratio` of the running floor
+        before starting this section."""
+        v = probe(f"gate_{tag}")
+        if _sections and len(_sections[-1]) == 3:
+            _sections[-1].append(v)
+        t0 = time.time()
+        while v > _probe_min[0] * dirty_ratio and time.time() - t0 < section_wait:
+            time.sleep(6)
+            v = cpu_probe()
+            _probe_min[0] = min(_probe_min[0], v)
+        if time.time() - t0 >= 1.0:
+            extra["cpu_probes"][f"gate_{tag}_postwait"] = v
+            extra.setdefault("gate_waits_sec", {})[tag] = round(time.time() - t0, 1)
+        _sections.append([tag, list(keys), v])
 
     def best2(fn, n: int = 3) -> float:
         """Steady-state serving latency: best of n=3 timed runs (run
@@ -106,6 +147,7 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="lighthouse_bench_")
     try:
         # ---- index build (docs/sec headline) ----
+        gate("index_build", "index_build")
         t0 = time.time()
         ci = build_and_save(
             docs, "doc_id", {"text": FieldSpec("text", positions=True)},
@@ -115,9 +157,9 @@ def main() -> None:
         timings["index_build"] = round(build_s, 3)
         extra["index_docs_per_sec"] = round(n_docs / build_s, 1)
         extra["n_docs"] = n_docs
-        probe("after_index_build")
 
         # ---- BM25 top-10 via WAND (latency p50 headline) ----
+        gate("bm25", "bm25_common", "bm25_stopword", "bm25_mixed", "bm25_rare")
         bm25_queries = {
             "bm25_common": "spark window merge",
             "bm25_stopword": "the fast big",
@@ -141,13 +183,13 @@ def main() -> None:
             lat.append(best)
             assert rows, name
         extra["bm25_p50_sec"] = round(statistics.median(lat), 3)
-        probe("after_bm25")
 
         # ---- phrase query over positions (index built OUTSIDE the
         # timed region — r1 conflated build+query in this number) ----
         from lighthouse_spark.plans.indexer import build_index
         from lighthouse_spark.operators import search
 
+        gate("phrase", "phrase")
         flat = build_index(
             docs, "doc_id", {"text": FieldSpec("text", positions=True)}, "simple",
             cache_agg=True,
@@ -169,6 +211,7 @@ def main() -> None:
         from lighthouse_spark.api.request import SearchRequest
         from lighthouse_spark.sources.claims import synthetic_claims
 
+        gate("composite", "composite_search")
         claims = synthetic_claims(spark, 2000).cache()
         cidx_flat = build_index(
             claims, "doc_id",
@@ -185,6 +228,7 @@ def main() -> None:
         from lighthouse_spark.api.autocomplete import autocomplete
         from lighthouse_spark.api.request import AutoCompleteRequest
 
+        gate("autocomplete", "autocomplete")
         autocomplete(cidx_flat, AutoCompleteRequest(s="warm up", size=5)).collect()
         timings["autocomplete"] = round(best2(lambda: autocomplete(
             cidx_flat, AutoCompleteRequest(s="interesting am", size=10)).collect()), 3)
@@ -197,6 +241,7 @@ def main() -> None:
         from lighthouse_spark.api.autocomplete import autocomplete_over_store
         from lighthouse_spark.api.engine import search_over_store
 
+        gate("store", "composite_store", "autocomplete_store")
         ci_claims = build_and_save(
             claims, "doc_id",
             {k: FieldSpec(k, positions=True)
@@ -215,6 +260,7 @@ def main() -> None:
         # keys are). The full-scan A/B rides in extra. ----
         from lighthouse_spark.operators import trigram as tri_mod
 
+        gate("trigram", "substring_trigram")
         tri = tri_mod.build_trigram_index(docs, "doc_id", "text")
         tri = (tri[0].persist(), tri[1].persist())
         tri[1].count(); tri[0].count()
@@ -222,7 +268,6 @@ def main() -> None:
         tri_mod.substring_search(docs, "doc_id", "text", needle, tri).count()
         timings["substring_trigram"] = round(best2(lambda: tri_mod.substring_search(
             docs, "doc_id", "text", needle, tri).count()), 3)
-        probe("after_small_queries")
         t0 = time.time()
         tri_mod.substring_search(docs, "doc_id", "text", needle, None).count()
         extra["substring_fullscan_sec"] = round(time.time() - t0, 3)
@@ -233,6 +278,7 @@ def main() -> None:
 
         from lighthouse_spark.sources import sync as sync_mod
 
+        gate("sync", "incremental_upsert_200")
         upd = docs.limit(200).withColumn("text", Fx.concat(Fx.lit("benchsync "), Fx.col("text")))
         t0 = time.time()
         ci = sync_mod.apply_incremental(ci, upserts=upd)
@@ -242,19 +288,18 @@ def main() -> None:
         # single-shot by nature — compact() folds the deltas the upsert
         # above just wrote and drops them, so there is no identical
         # second run — hence the bracketing probes) ----
-        probe("before_compaction")
+        gate("compaction", "compaction")
         t0 = time.time()
         ci = sync_mod.compact(ci)
         timings["compaction"] = round(time.time() - t0, 3)
-        probe("after_compaction")
 
         # ---- relational legs at this sf ----
         import __spark_entry__ as entry
 
+        gate("relational", "group_concat", "topk_page")
         for name in ("group_concat", "topk_page"):
             qfn = entry.queries()[name]
             timings[name] = round(best2(lambda: qfn(spark, sf_dir).collect()), 3)
-        probe("after_relational")
 
         # ---- 200k-doc query tier (VERDICT r4 next #3): the sf0.1
         # queries above run against ~5k docs, so they measure dispatch
@@ -270,6 +315,7 @@ def main() -> None:
 
             big = synthetic_corpus(spark, big_n, partitions=4 * cpus).cache()
             big.count()
+            gate("build_200k", "index_build_200k")
             t0 = time.time()
             ci2 = build_and_save(
                 big, "doc_id", {"content": FieldSpec("content", positions=True)},
@@ -278,7 +324,7 @@ def main() -> None:
             build2 = time.time() - t0
             timings["index_build_200k"] = round(build2, 3)
             extra["index_docs_per_sec_200k"] = round(big_n / build2, 1)
-            probe("after_index_build_200k")
+            gate("bm25_200k", "bm25_common_200k", "bm25_mixed_200k", "bm25_rare_200k")
             wand_mod.wand_topk(ci2, "content", ["warm"], k=10).collect()
             lat2 = []
             for name, q in {
@@ -296,6 +342,7 @@ def main() -> None:
                 lat2.append(best)
             extra["bm25_p50_200k_sec"] = round(statistics.median(lat2), 3)
 
+            gate("phrase_200k", "phrase_200k", "phrase_dense_200k")
             flat2 = build_index(
                 big, "doc_id", {"content": FieldSpec("content", positions=True)},
                 "code", cache_agg=True,
@@ -323,6 +370,7 @@ def main() -> None:
             for _df in (flat2.postings, flat2.term_stats, flat2.doc_stats):
                 _df.unpersist()
 
+            gate("trigram_200k", "substring_trigram_200k")
             tri2 = tri_mod.build_trigram_index(big, "doc_id", "content")
             tri2 = (tri2[0].persist(), tri2[1].persist())
             tri2[1].count(); tri2[0].count()
@@ -335,6 +383,7 @@ def main() -> None:
             tri2[0].unpersist(); tri2[1].unpersist()
             big.unpersist()
 
+            gate("composite_200k", "composite_200k", "autocomplete_200k")
             claims2 = synthetic_claims(spark, big_n).cache()
             cidx2 = build_index(
                 claims2, "doc_id",
@@ -351,14 +400,42 @@ def main() -> None:
             timings["autocomplete_200k"] = round(best2(lambda: autocomplete(
                 cidx2, AutoCompleteRequest(s="interesting am", size=10)).collect()), 3)
             claims2.unpersist()
-            probe("after_200k_tier")
+        # close the last section's bracket (pre-teardown, so stop()
+        # and rmtree cost never pollutes a section's after-probe)
+        v_end = probe("end_of_run")
+        if _sections and len(_sections[-1]) == 3:
+            _sections[-1].append(v_end)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
 
     total = round(time.time() - t_total, 3)
     extra["loadavg_end"] = [round(v, 2) for v in os.getloadavg()]
-    extra["cpu_probe_end_sec"] = cpu_probe()
+    p_end = cpu_probe()
+    _probe_min[0] = min(_probe_min[0], p_end)
+    extra["cpu_probe_end_sec"] = p_end
+
+    # ---- contamination verdict: judged against the FINAL whole-run
+    # floor (a later, quieter probe retro-tightens earlier sections'
+    # threshold — honest even when the run started inside a burst) ----
+    thr = _probe_min[0] * dirty_ratio
+    contaminated: list[str] = []
+    brackets: dict[str, dict] = {}
+    for s in _sections:
+        tag, keys, p_before = s[0], s[1], s[2]
+        p_after = s[3] if len(s) > 3 else p_before
+        dirty = p_before > thr or p_after > thr
+        brackets[tag] = {
+            "before": p_before,
+            "after": p_after,
+            "dirty": dirty,
+        }
+        if dirty:
+            contaminated.extend(k for k in keys if k in timings)
+    extra["probe_floor_sec"] = _probe_min[0]
+    extra["dirty_ratio"] = dirty_ratio
+    extra["section_brackets"] = brackets
+    extra["contaminated_keys"] = contaminated
     print(
         json.dumps(
             {

@@ -70,24 +70,16 @@ def _pairs_cond(pairs_by_field: dict[str, set[str]]):
 def _phrase_freq(terms: tuple[str, ...]):
     """Exact-adjacency phrase occurrence count over a `posmap` column
     (term -> positions). Anchored at each position of terms[0]; every
-    later term must sit at anchor+i. Pure higher-order expressions."""
+    later term must sit at anchor+i — the hash-based intersect chain
+    (operators/search._adjacency_anchors): O(sum of array sizes) per
+    doc instead of the old filter+array_contains O(product)."""
+    from lighthouse_spark.operators.search import _adjacency_anchors
+
     anchor = F.element_at("posmap", terms[0])
     rest = list(terms[1:])
     if not rest:
         return F.size(anchor)
-
-    # factory closure: a second lambda param would make F.filter treat
-    # it as the (element, index) form
-    def make_adjacent(rest_terms):
-        def adjacent(x):
-            cond = F.lit(True)
-            for i, t in enumerate(rest_terms, start=1):
-                cond = cond & F.array_contains(F.element_at("posmap", t), x + i)
-            return cond
-
-        return adjacent
-
-    return F.size(F.filter(anchor, make_adjacent(rest)))
+    return F.size(_adjacency_anchors(anchor, rest))
 
 
 def phrase_match_ids(
@@ -131,15 +123,18 @@ def phrase_match_ids(
     return pos.filter(hit).select("doc_id").distinct()
 
 
-def execute(
+def _clause_rows(
     index: InvertedIndex,
     match_specs: list[MatchSpec],
     phrase_specs: list[PhraseSpec],
     dfmaps: dict[str, dict[str, int]],
-    gate_df: DataFrame | None = None,
-    gate_col: str = "claim_type",
-) -> DataFrame:
-    """Returns the long-format clause frame (doc_id, clause, score)."""
+    per_clause_agg: bool,
+) -> list[DataFrame]:
+    """Shared clause-row builder: frames of (doc_id, clause, gate,
+    score). With per_clause_agg the match leg is aggregated to one row
+    per (doc, clause) — required for the explain payload; without it
+    the raw term-level rows flow straight into the caller's single
+    doc-level aggregation (one fewer shuffle per request)."""
     spark = index.spark
     corpus = index.corpus_stats()
     parts: list[DataFrame] = []
@@ -173,9 +168,11 @@ def execute(
             "doc_id", "clause", "gate",
             (F.col("w") * _tfn(F.col("tf"), F.col("dl"), F.col("avgdl"))).alias("score"),
         )
-        parts.append(
-            scored.groupBy("doc_id", "clause", "gate").agg(F.sum("score").alias("score"))
-        )
+        if per_clause_agg:
+            scored = scored.groupBy("doc_id", "clause", "gate").agg(
+                F.sum("score").alias("score")
+            )
+        parts.append(scored)
 
     # ---- fused phrase clauses ------------------------------------------
     valid_ph = []
@@ -217,7 +214,20 @@ def execute(
                     ).alias("score"),
                 )
             )
+    return parts
 
+
+def execute(
+    index: InvertedIndex,
+    match_specs: list[MatchSpec],
+    phrase_specs: list[PhraseSpec],
+    dfmaps: dict[str, dict[str, int]],
+    gate_df: DataFrame | None = None,
+    gate_col: str = "claim_type",
+) -> DataFrame:
+    """Returns the long-format clause frame (doc_id, clause, score)."""
+    spark = index.spark
+    parts = _clause_rows(index, match_specs, phrase_specs, dfmaps, per_clause_agg=True)
     if not parts:
         return spark.createDataFrame([], "doc_id long, clause string, score double")
     out = parts[0]
@@ -244,3 +254,147 @@ def execute(
     else:
         out = out.filter(F.col("gate").isNull())
     return out.select("doc_id", "clause", "score")
+
+
+def execute_collapsed(
+    index: InvertedIndex,
+    match_specs: list[MatchSpec],
+    phrase_specs: list[PhraseSpec],
+    dfmaps: dict[str, dict[str, int]],
+    extra_parts: list[DataFrame] | None = None,
+) -> tuple[DataFrame, list[str]]:
+    """The /search hot path (VERDICT r6 next #2): one doc-level
+    aggregation instead of execute()'s per-clause agg + gate semi-join
+    + doc agg — two fewer shuffles (and their AQE job dispatches) per
+    request.
+
+    Returns (wide, gate_vals): `wide` is one row per candidate doc with
+      s_null  — sum of ungated clause scores (NULL if none matched)
+      s_g{i}  — sum of clause scores gated on gate_vals[i] (NULL if
+                none matched)
+    Gates are NOT applied here; the engine resolves them ARITHMETICALLY
+    after its existing docs join (a doc's gate column is constant, so
+    "drop gated rows whose doc fails the gate, then sum" ==
+    "conditionally include the per-gate partial sum"). A doc whose only
+    contributions are gated sums that its gate column rejects must NOT
+    become a candidate (bool/SHOULD minimum 1 clause) — the NULL
+    markers let the engine enforce that without a second pass. Score
+    parity with execute() is pinned by tests/test_engine (same rows,
+    same sums, different-but-commutative addition order).
+
+    The match leg here has NO broadcast join: clause weights merge
+    driver-side into ONE literal map (field\\0term -> [w per gate
+    class]; scores are additive, so clauses sharing a (field, term,
+    gate) fold into one weight — BM25 avgdl is per-field, so the tfn
+    factor is shared), and each posting row's per-gate contribution is
+    a pure codegen expression. The IN-list postings filter already
+    enumerates every (field, term) pair in the plan, so the literal
+    map adds no new plan-size order."""
+    spark = index.spark
+    corpus = index.corpus_stats()
+    gate_vals = sorted(
+        {x.gate for x in list(match_specs) + list(phrase_specs) if x.gate}
+    )
+    n_cls = 1 + len(gate_vals)
+    s_cols = ["s_null"] + [f"s_g{i}" for i in range(len(gate_vals))]
+
+    def widen(df: DataFrame, score_col, gate: str | None) -> DataFrame:
+        gi = 0 if gate is None else 1 + gate_vals.index(gate)
+        return df.select(
+            "doc_id",
+            *[
+                (score_col if i == gi else F.lit(None).cast("double")).alias(c)
+                for i, c in enumerate(s_cols)
+            ],
+        )
+
+    parts: list[DataFrame] = []
+
+    # ---- match leg: literal weight map, no broadcast join -------------
+    wmap: dict[tuple[str, str], list[float]] = {}
+    for ms in match_specs:
+        n, _ = corpus.get(ms.field, (0, 1.0))
+        if n == 0:
+            continue
+        gi = 0 if ms.gate is None else 1 + gate_vals.index(ms.gate)
+        for t, c in Counter(ms.terms).items():
+            df = dfmaps.get(ms.field, {}).get(t)
+            if not df:
+                continue
+            arr = wmap.setdefault((ms.field, t), [0.0] * n_cls)
+            arr[gi] += idf_py(df, n) * c * ms.boost
+    if wmap:
+        pairs: dict[str, set[str]] = {}
+        for f, t in wmap:
+            pairs.setdefault(f, set()).add(t)
+        w_lit = F.create_map(
+            *[
+                x
+                for (f, t), arr in sorted(wmap.items())
+                for x in (
+                    F.lit(f + "\x00" + t),
+                    F.array(*[F.lit(w) for w in arr]),
+                )
+            ]
+        )
+        avg_lit = F.create_map(
+            *[
+                x
+                for f in sorted(pairs)
+                for x in (F.lit(f), F.lit(float(corpus[f][1])))
+            ]
+        )
+        p = index.postings.filter(_pairs_cond(pairs)).select(
+            "field", "term", "doc_id", "tf", "dl"
+        )
+        tfn = _tfn(
+            F.col("tf"), F.col("dl"), F.element_at(avg_lit, F.col("field"))
+        )
+        warr = F.element_at(w_lit, F.concat_ws("\x00", "field", "term"))
+        parts.append(
+            p.select(
+                "doc_id",
+                *[
+                    # NULL (not 0) when this gate class has no weight:
+                    # sum() then keeps the minimum-1-clause marker exact
+                    F.when(
+                        F.element_at(warr, i + 1) != 0.0,
+                        F.element_at(warr, i + 1) * tfn,
+                    ).alias(c)
+                    for i, c in enumerate(s_cols)
+                ],
+            )
+        )
+
+    # ---- phrase leg: shared posmap agg, per-spec projections -----------
+    # each part's rows are (doc_id, clause, gate, score) with gate a
+    # CONSTANT literal per part — the when() below constant-folds
+    ph_parts = _clause_rows(index, [], phrase_specs, dfmaps, per_clause_agg=False)
+    for ph in ph_parts:
+        parts.append(
+            ph.select(
+                "doc_id",
+                *[
+                    F.when(
+                        F.col("gate").isNull() if i == 0 else (F.col("gate") == gate_vals[i - 1]),
+                        F.col("score"),
+                    ).alias(c)
+                    for i, c in enumerate(s_cols)
+                ],
+            )
+        )
+    for x in extra_parts or []:
+        # e.g. the opt-in contains clauses: (doc_id, clause, score),
+        # never gated — they ride the same single aggregation
+        parts.append(widen(x, F.col("score"), None))
+
+    if not parts:
+        schema = "doc_id long, " + " double, ".join(s_cols) + " double"
+        return spark.createDataFrame([], schema), gate_vals
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    return (
+        rows.groupBy("doc_id").agg(*[F.sum(c).alias(c) for c in s_cols]),
+        gate_vals,
+    )

@@ -183,6 +183,26 @@ def prefetch_df(
     return out
 
 
+def _adjacency_anchors(anchor, rest: list[str]):
+    """Anchor positions x (of the phrase's first term) such that every
+    later term t_i sits at x+i — computed as a chain of hash-based
+    array_intersects over the per-term position arrays (posmap column
+    in scope). Positions are distinct within a doc, so set semantics
+    are exact."""
+    acc = anchor
+
+    def shift_by(i: int):
+        # factory closure: HOF lambdas must stay UNARY (a second,
+        # even defaulted, param binds the (element, index) form)
+        return lambda y: y - i
+
+    for i, t in enumerate(rest, start=1):
+        acc = F.array_intersect(
+            acc, F.transform(F.element_at("posmap", t), shift_by(i))
+        )
+    return acc
+
+
 def phrase(
     index: InvertedIndex,
     field: str,
@@ -248,14 +268,13 @@ def phrase(
     if not rest:
         freq = F.size(anchor).cast("double")
     elif slop == 0:
-
-        def adjacent(x):
-            cond = F.lit(True)
-            for i, t in enumerate(rest, start=1):
-                cond = cond & F.array_contains(F.element_at("posmap", t), x + i)
-            return cond
-
-        freq = F.size(F.filter(anchor, adjacent)).cast("double")
+        # Hash-based intersect chain (r7): anchors surviving term i are
+        # intersect(acc, positions(term_i) - i). array_intersect builds
+        # a hash set per row — O(|A|+|B|) per term vs the old
+        # filter+array_contains O(|A|*|B|); equivalence pinned by the
+        # phrase tests (positions are distinct within a doc, so the
+        # set-intersect count equals the anchor-scan count).
+        freq = F.size(_adjacency_anchors(anchor, rest)).cast("double")
     elif slop_mode == "lucene":
         # Lucene-exact sloppy freq (fractional) over the per-term
         # position arrays — Arrow-batched, candidate docs only.
