@@ -136,14 +136,15 @@ def test_invalid_decoder(media):
 
 
 def test_pil_decode_skipped_or_green():
-    """Optional-dependency decoder: green when Pillow is installed,
-    a NAMED NotImplementedError otherwise (never a silent fake)."""
+    """Optional-dependency JPEG decoder: green when Pillow is
+    installed, a NAMED NotImplementedError otherwise (never a silent
+    fake). PNG no longer routes here — decode_png is stdlib-only."""
     import numpy as np
     import pytest
 
     from lighthouse_spark.pipeline.multimodal import _pil_decode, _real_decode
 
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     try:
         import PIL  # noqa: F401
         has_pil = True
@@ -151,15 +152,151 @@ def test_pil_decode_skipped_or_green():
         has_pil = False
     if not has_pil:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            _pil_decode(png_magic)
+            _pil_decode(jpeg_magic)
         with pytest.raises(NotImplementedError, match="Pillow"):
-            _real_decode(png_magic, "image", 16)
+            _real_decode(jpeg_magic, "image", 16)
     else:
-        # a real 1x1 PNG decodes to an RGB array
+        # a real 2x2 JPEG decodes to an RGB array
         import io
         from PIL import Image
 
         buf = io.BytesIO()
-        Image.new("RGB", (2, 2), (10, 20, 30)).save(buf, format="PNG")
+        Image.new("RGB", (2, 2), (10, 20, 30)).save(buf, format="JPEG")
         arr = _pil_decode(buf.getvalue())
         assert arr.shape == (2, 2, 3) and arr.dtype == np.uint8
+
+
+# ---- stdlib PNG decoder (VERDICT r6 next #4) ----------------------------
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _make_png(w, h, color, filtered_rows: bytes, plte: bytes | None = None) -> bytes:
+    import struct
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    out += _png_chunk(b"IDAT", zlib.compress(filtered_rows))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def _spec_filter(img, ftype_per_row) -> bytes:
+    """Forward PNG filtering per the spec — an INDEPENDENT (encode-side)
+    implementation the decoder must invert."""
+    import numpy as np
+
+    h, w, ch = img.shape
+    rows = img.reshape(h, w * ch).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        r = rows[y]
+        ft = ftype_per_row[y % len(ftype_per_row)]
+        f = np.zeros_like(r)
+        for x in range(w * ch):
+            a = r[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            f[x] = (r[x] - pred) % 256
+        out.append(ft)
+        out += bytes(f.astype(np.uint8))
+        prev = r
+    return bytes(out)
+
+
+def test_png_golden_pixels():
+    """Fixed 2x2 RGB, filter 0 everywhere — absolute pixel anchor."""
+    import numpy as np
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    raw = b"\x00" + px[0].tobytes() + b"\x00" + px[1].tobytes()
+    got = mm.decode_png(_make_png(2, 2, 2, raw))
+    assert np.array_equal(got, px)
+
+
+def test_png_all_filters_roundtrip():
+    """Every spec filter type (0..4) on a deterministic image must
+    invert exactly — RGB, grayscale, gray+alpha and RGBA variants."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for color, ch in ((2, 3), (0, 1), (4, 2), (6, 4)):
+        img = rng.integers(0, 256, size=(7, 5, ch), dtype=np.uint8)
+        payload = _make_png(5, 7, color, _spec_filter(img, [0, 1, 2, 3, 4]))
+        got = mm.decode_png(payload)
+        if color == 2:
+            exp = img
+        elif color == 0:
+            exp = np.repeat(img, 3, axis=2)
+        elif color == 4:
+            exp = np.repeat(img[:, :, :1], 3, axis=2)
+        else:
+            exp = img[:, :, :3]
+        assert np.array_equal(got, exp), f"color type {color}"
+
+
+def test_png_palette():
+    import numpy as np
+
+    plte = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250, 7, 8, 9])
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)[:, :, None]
+    payload = _make_png(2, 2, 3, _spec_filter(idx, [0, 2]), plte=plte)
+    got = mm.decode_png(payload)
+    exp = np.frombuffer(plte, dtype=np.uint8).reshape(4, 3)[idx[:, :, 0]]
+    assert np.array_equal(got, exp)
+
+
+def test_png_unsupported_named():
+    import struct
+
+    # 16-bit depth -> named NotImplementedError, never a wrong decode
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"x\x9c\x03\x00\x00\x00\x00\x01")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        mm.decode_png(payload)
+
+
+def test_png_through_real_decoder_pipeline(spark):
+    """decode_png wired into extract_features(decoder='real'): the
+    mean-luma of a solid-gray PNG is exact."""
+    import numpy as np
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    payload = _make_png(8, 8, 2, _spec_filter(img, [1, 4]))
+    df = spark.createDataFrame([(1, payload)], "id long, media binary")
+    df = mm.attach_media_meta(df, "media", kind="image", mime="image/png")
+    row = mm.extract_features(df, "id", "media", decoder="real").collect()[0]
+    assert abs(row["mean_luma"] - 128.0 / 255.0) < 1e-9
+    assert len(row["embedding"]) == 16
