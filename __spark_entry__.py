@@ -54,6 +54,28 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.top_k(scored, docs, "doc_id", k=10, columns=["doc_id"], round_score=ROUND)
 
 
+def q_sql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.3 MATCH() SQL surface (VERDICT r6 next #8): the engine from
+    plain spark.sql — the MATCH('q', k) pseudo-table rewrites to a
+    lazy BM25 top-k view (api/sqlext.py), everything else is stock
+    SQL. Same scoring path as bm25_topk; the oracle re-derives it."""
+    from lighthouse_spark.api.sqlext import MatchSQL
+
+    docs, idx = _doc_index(spark, sf_dir)
+    docs.createOrReplaceTempView("_lh_documents_v")
+    ms = MatchSQL(idx, "text")
+    return ms.sql(
+        spark,
+        f"""
+        SELECT d.doc_id AS doc_id, d.lang AS lang,
+               round(m.score, {ROUND}) AS score
+        FROM MATCH('{FLAGSHIP_Q}', 10) m
+        JOIN _lh_documents_v d ON d.doc_id = m.doc_id
+        ORDER BY score DESC, doc_id ASC
+        """,
+    )
+
+
 def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1+P2: BM25 with an equality filter in *filter context* — the
     filter restricts results but does NOT change corpus statistics
@@ -1066,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_wand": q_bm25_wand,
         "bm25_filtered": q_bm25_filtered,
+        "sql_match": q_sql_match,
         "bm25_batch": q_bm25_batch,
         "phrase_topk": q_phrase_topk,
         "phrase_store": q_phrase_store,
@@ -1604,6 +1627,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand": _BM25_CTES
         + f"SELECT doc_id, round(score, {ROUND}) AS score FROM scored "
         "ORDER BY score DESC, doc_id ASC LIMIT 10",
+        "sql_match": _BM25_CTES
+        + f""", topk AS (
+          SELECT doc_id, score FROM scored
+          ORDER BY score DESC, doc_id ASC LIMIT 10
+        )
+        SELECT d.doc_id AS doc_id, d.lang AS lang,
+               round(t.score, {ROUND}) AS score
+        FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+        ORDER BY score DESC, doc_id ASC""",
         "bm25_batch": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
