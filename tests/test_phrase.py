@@ -47,3 +47,56 @@ def test_slop_supersets_exact(index):
 def test_phrase_requires_positions(index):
     with pytest.raises(ValueError):
         search.phrase(index, "repo", ["org0"])
+
+
+def test_adjacency_intersect_chain_exhaustive(spark):
+    """r7 kernel swap (filter+array_contains -> hash array_intersect
+    chain): exhaustive randomized equivalence against a brute-force
+    Python adjacency counter, including repeated phrase terms, empty
+    arrays, and a missing-term case (both old and new forms yield
+    freq <= 0 there — only the >0 gate is contractual downstream)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lighthouse_spark.operators.fused import _phrase_freq
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d"]
+    rows = []
+    for i in range(300):
+        posmap = {
+            t: sorted(rng.sample(range(0, 25), rng.randint(0, 8)))
+            for t in vocab
+        }
+        rows.append((i, posmap))
+    df = spark.createDataFrame(rows, "id long, posmap map<string, array<int>>")
+
+    def brute(posmap, terms):
+        return sum(
+            1
+            for x in posmap.get(terms[0], [])
+            if all((x + k) in posmap.get(t, []) for k, t in enumerate(terms))
+        )
+
+    cases = [
+        ("a", "b"),
+        ("a", "b", "c"),
+        ("d", "d"),            # repeated term
+        ("b", "a", "b"),       # repeat with gap
+        ("a", "b", "c", "d"),
+    ]
+    for terms in cases:
+        got = {
+            r["id"]: r["f"]
+            for r in df.select("id", _phrase_freq(terms).alias("f")).collect()
+        }
+        for i, posmap in rows:
+            assert got[i] == brute(posmap, terms), (terms, i, posmap)
+
+    # missing term: freq must not pass the >0 gate
+    df2 = spark.createDataFrame(
+        [(0, {"a": [1, 2]})], "id long, posmap map<string, array<int>>"
+    )
+    val = df2.select(_phrase_freq(("a", "zz")).alias("f")).collect()[0]["f"]
+    assert val is None or val <= 0
