@@ -149,16 +149,13 @@ def main() -> None:
     for q in uniq_qs:
         warm.search(reqs[q])
 
-    # serial reference, fresh cache: expected response per query + qps
+    # serial reference, fresh cache, SAME stream (same miss/hit mix as
+    # each concurrent level — anything else skews the speedup ratio)
     svc_serial = SearchService(engine)
     t0 = time.time()
-    expected = {}
-    for q in stream:
-        expected.setdefault(q, svc_serial.search(reqs[q]))
-    # replay duplicates serially too so serial qps covers the SAME work
-    for q in stream:
-        svc_serial.search(reqs[q])
-    serial_s = (time.time() - t0) / 2.0  # two passes over the stream
+    serial_results = [svc_serial.search(reqs[q]) for q in stream]
+    serial_s = time.time() - t0
+    expected = dict(zip(stream, serial_results))
     out = {
         "metric": "concurrent_serving",
         "n_docs": n_docs,
