@@ -67,19 +67,22 @@ def _pairs_cond(pairs_by_field: dict[str, set[str]]):
     return cond
 
 
-def _phrase_freq(terms: tuple[str, ...]):
-    """Exact-adjacency phrase occurrence count over a `posmap` column
-    (term -> positions). Anchored at each position of terms[0]; every
-    later term must sit at anchor+i — the hash-based intersect chain
+def _phrase_freq(terms: tuple[str, ...], lookup=None):
+    """Exact-adjacency phrase occurrence count over per-term position
+    columns (``lookup``: term -> Column; default a `posmap` map column
+    in scope). Anchored at each position of terms[0]; every later term
+    must sit at anchor+i — the hash-based intersect chain
     (operators/search._adjacency_anchors): O(sum of array sizes) per
     doc instead of the old filter+array_contains O(product)."""
     from lighthouse_spark.operators.search import _adjacency_anchors
 
-    anchor = F.element_at("posmap", terms[0])
+    if lookup is None:
+        lookup = lambda t: F.element_at("posmap", t)  # noqa: E731
+    anchor = lookup(terms[0])
     rest = list(terms[1:])
     if not rest:
         return F.size(anchor)
-    return F.size(_adjacency_anchors(anchor, rest))
+    return F.size(_adjacency_anchors(anchor, rest, lookup))
 
 
 def phrase_match_ids(
@@ -107,18 +110,17 @@ def phrase_match_ids(
     pairs: dict[str, set[str]] = {}
     for ps in valid:
         pairs.setdefault(ps.field, set()).update(ps.terms)
-    pos = (
-        index.postings.filter(_pairs_cond(pairs) & F.col("positions").isNotNull())
-        .groupBy("field", "doc_id")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("term", "positions"))).alias(
-                "posmap"
-            )
-        )
+    from lighthouse_spark.operators.search import _pivot_positions
+
+    uniq = sorted({t for ts in pairs.values() for t in ts})
+    pos, look = _pivot_positions(
+        index.postings.filter(_pairs_cond(pairs) & F.col("positions").isNotNull()),
+        uniq,
+        ["field", "doc_id"],
     )
     hit = None
     for ps in valid:
-        c = (F.col("field") == ps.field) & (_phrase_freq(ps.terms) > 0)
+        c = (F.col("field") == ps.field) & (_phrase_freq(ps.terms, look) > 0)
         hit = c if hit is None else (hit | c)
     return pos.filter(hit).select("doc_id").distinct()
 
@@ -185,21 +187,19 @@ def _clause_rows(
         pairs = {}
         for ps in valid_ph:
             pairs.setdefault(ps.field, set()).update(ps.terms)
-        pos = (
-            index.postings.filter(_pairs_cond(pairs) & F.col("positions").isNotNull())
-            .groupBy("field", "doc_id")
-            .agg(
-                F.map_from_entries(F.collect_list(F.struct("term", "positions"))).alias(
-                    "posmap"
-                ),
-                F.first("dl").alias("dl"),
-            )
+        from lighthouse_spark.operators.search import _pivot_positions
+
+        ph_uniq = sorted({t for ts in pairs.values() for t in ts})
+        pos, look = _pivot_positions(
+            index.postings.filter(_pairs_cond(pairs) & F.col("positions").isNotNull()),
+            ph_uniq,
+            ["field", "doc_id"],
         )
         for ps in valid_ph:
             n, avgdl = corpus[ps.field]
             dfm = dfmaps[ps.field]
             idf_sum = sum(idf_py(dfm[t], n) for t in ps.terms)
-            freq = _phrase_freq(ps.terms)
+            freq = _phrase_freq(ps.terms, look)
             parts.append(
                 pos.filter(F.col("field") == ps.field)
                 .withColumn("freq", freq)

@@ -183,12 +183,15 @@ def prefetch_df(
     return out
 
 
-def _adjacency_anchors(anchor, rest: list[str]):
+def _adjacency_anchors(anchor, rest: list[str], lookup=None):
     """Anchor positions x (of the phrase's first term) such that every
     later term t_i sits at x+i — computed as a chain of hash-based
-    array_intersects over the per-term position arrays (posmap column
-    in scope). Positions are distinct within a doc, so set semantics
-    are exact."""
+    array_intersects over the per-term position arrays. ``lookup``
+    maps a term to its positions Column (default: a `posmap` map
+    column in scope). Positions are distinct within a doc, so set
+    semantics are exact."""
+    if lookup is None:
+        lookup = lambda t: F.element_at("posmap", t)  # noqa: E731
     acc = anchor
 
     def shift_by(i: int):
@@ -197,10 +200,25 @@ def _adjacency_anchors(anchor, rest: list[str]):
         return lambda y: y - i
 
     for i, t in enumerate(rest, start=1):
-        acc = F.array_intersect(
-            acc, F.transform(F.element_at("posmap", t), shift_by(i))
-        )
+        acc = F.array_intersect(acc, F.transform(lookup(t), shift_by(i)))
     return acc
+
+
+def _pivot_positions(p: DataFrame, uniq: list[str], group_cols: list[str]):
+    """Per-doc positions via PIVOTED any_value(when(term==t)) columns —
+    measured ~20% cheaper than map_from_entries(collect_list(struct))
+    (no per-row struct/map building, no collect_list buffers; r7
+    same-session A/B 0.492 → 0.391 s on the 100k dense pair). Returns
+    (per_doc frame with _p{i} columns + dl, lookup term->Column)."""
+    aggs = [
+        F.any_value(F.when(F.col("term") == t, F.col("positions")), True).alias(
+            f"_p{i}"
+        )
+        for i, t in enumerate(uniq)
+    ] + [F.first("dl").alias("dl")]
+    per = p.groupBy(*group_cols).agg(*aggs)
+    lookup = {t: F.col(f"_p{i}") for i, t in enumerate(uniq)}
+    return per, (lambda t: lookup[t])
 
 
 def phrase(
@@ -255,15 +273,15 @@ def phrase(
     idf_sum = sum(scoring.idf_py(df_map[t], n) for t in terms)
 
     p = _field_postings(index, field, terms)
-    per_doc = p.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("term", "positions"))).alias("posmap"),
-        F.first("dl").alias("dl"),
-        F.count("*").alias("nterms"),
-    ).filter(F.col("nterms") == len(uniq))
+    per_doc, look = _pivot_positions(p, uniq, ["doc_id"])
+    conj = F.lit(True)
+    for i in range(len(uniq)):
+        conj = conj & F.col(f"_p{i}").isNotNull()
+    per_doc = per_doc.filter(conj)
 
     # Phrase occurrences anchored at each position of terms[0] — all
     # built-in higher-order functions, evaluated JVM-side per row.
-    anchor = F.element_at("posmap", terms[0])
+    anchor = look(terms[0])
     rest = terms[1:]
     if not rest:
         freq = F.size(anchor).cast("double")
@@ -274,7 +292,7 @@ def phrase(
         # filter+array_contains O(|A|*|B|); equivalence pinned by the
         # phrase tests (positions are distinct within a doc, so the
         # set-intersect count equals the anchor-scan count).
-        freq = F.size(_adjacency_anchors(anchor, rest)).cast("double")
+        freq = F.size(_adjacency_anchors(anchor, rest, look)).cast("double")
     elif slop_mode == "lucene":
         # Lucene-exact sloppy freq (fractional) over the per-term
         # position arrays — Arrow-batched, candidate docs only.
@@ -301,14 +319,14 @@ def phrase(
                     lambda ls: lucene_sloppy_freq_rpt(list(ls), _slop, _groups)
                 )
 
-        freq = _sloppy(F.array(*[F.element_at("posmap", t) for t in terms]))
+        freq = _sloppy(F.array(*[look(t) for t in terms]))
     else:
         # slop_mode="window": greedy ordered-window count (the fused
         # autocomplete plan's expression; order-sensitive, integer)
         def chain(i, prev):
             if i == len(terms):
                 return F.lit(True)
-            arr = F.element_at("posmap", terms[i])
+            arr = look(terms[i])
             return F.exists(
                 arr, lambda xi: (xi > prev) & (xi <= prev + slop + 1) & chain(i + 1, xi)
             )

@@ -210,12 +210,16 @@ def test_quoted_phrase_filter_single_positional_scan(engine):
     assert ids is not None
     import re
 
-    # the optimized logical plan must contain exactly ONE posmap
-    # aggregation (the InMemoryRelation's embedded build plan also
-    # prints collect_list nodes, so match the posmap signature)
+    # the optimized logical plan must contain exactly ONE positional
+    # aggregation grouped on (field, doc_id) — r7 shape: pivoted
+    # any_value(CASE WHEN term=...) columns instead of a posmap map
+    # (the InMemoryRelation's embedded build plan prints its own
+    # aggregate nodes, so match the (field, doc_id) grouping signature)
     opt = ids._jdf.queryExecution().optimizedPlan().toString()
-    n_aggs = len(re.findall(r"map_from_entries\(collect_list", opt))
-    assert n_aggs == 1, f"expected one fused posmap aggregation, saw {n_aggs}"
+    n_aggs = len(re.findall(r"Aggregate \[field#\d+, doc_id#\d+", opt))
+    assert n_aggs == 1, f"expected one fused positional aggregation, saw {n_aggs}"
+    # Catalyst rewrites any_value -> first in the optimized plan
+    assert re.search(r"(any_value|first)\(CASE WHEN", opt)
 
 
 def test_contains_clauses_opt_in(engine, claims_pd):
