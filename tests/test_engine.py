@@ -282,3 +282,67 @@ def test_search_over_store_rank_identical(spark, claims, engine, tmp_path_factor
         for g, w in zip(got, want):
             assert g[1] == pytest.approx(w[1], rel=1e-9)
         assert got, kw
+
+
+def test_collapsed_path_equals_clause_path(engine):
+    """fused.execute_collapsed (the r7 /search hot path: one doc-level
+    aggregation, gates as conditional sums, literal weight map) must
+    produce the SAME per-doc query scores as the clause-shaped
+    execute() pipeline for the golden requests — including docs whose
+    only contributions are gated clauses (min-should-match exactness)."""
+    from pyspark.sql import functions as F
+
+    from lighthouse_spark.api import special
+    from lighthouse_spark.api.request import truncate_query
+    from lighthouse_spark.operators import fused
+
+    for q in (
+        "interesting and amazing facts",
+        "@somechannel",
+        "crypto news",
+        "one",
+    ):
+        req = SearchRequest(s=q, size=200)
+        s = special.rewrite(truncate_query(req.s))
+        terms = engine._terms(s)
+        engine._prefetch(s, terms)
+        ms, ps = engine._clause_specs(req, s, terms)
+        dfmaps = engine._df_for_specs(ms, ps)
+
+        # clause-shaped path (execute + gate semi-join + doc agg)
+        gate_df = None
+        if engine._has("claim_type") and any(x.gate for x in ms + ps):
+            gate_df = engine.docs.select(
+                F.col(engine._id), engine._col("claim_type").alias("claim_type")
+            )
+        long = fused.execute(engine.index, ms, ps, dfmaps, gate_df)
+        want = {
+            r["doc_id"]: r["score"]
+            for r in long.groupBy("doc_id").agg(F.sum("score").alias("score")).collect()
+        }
+
+        # collapsed path, gates resolved against the docs projection
+        wide, gate_vals = fused.execute_collapsed(engine.index, ms, ps, dfmaps)
+        ct = {
+            r["doc_id"]: r["ct"]
+            for r in engine.docs.select(
+                F.col(engine._id).alias("doc_id"),
+                engine._col("claim_type").alias("ct"),
+            ).collect()
+        }
+        got = {}
+        for r in wide.collect():
+            total, candidate = 0.0, False
+            if r["s_null"] is not None:
+                total += r["s_null"]
+                candidate = True
+            for i, v in enumerate(gate_vals):
+                g = r[f"s_g{i}"]
+                if g is not None and ct.get(r["doc_id"]) == v:
+                    total += g
+                    candidate = True
+            if candidate:
+                got[r["doc_id"]] = total
+        assert set(got) == set(want), q
+        for d, sc in want.items():
+            assert got[d] == pytest.approx(sc, rel=1e-9), (q, d)
