@@ -32,22 +32,15 @@ def main() -> None:
     ap.add_argument("--sleep-s", type=float, default=120)
     args = ap.parse_args()
 
-    import bench_scaling as bs
-
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     t_end = time.time() + args.budget_min * 60
     collected = 0
     attempt = 0
+    # no supervisor-side probe: the child gates itself, and a second
+    # probe 40 s earlier just races a flickering window (observed:
+    # supervisor 3.65/3.74 → child re-probe 3.0/3.17, window gone)
     while collected < args.rows and time.time() < t_end:
         attempt += 1
-        probe = bs.cpu_ceiling_probe()
-        if probe < args.gate:
-            print(json.dumps({"attempt": attempt, "probe": round(probe, 3),
-                              "gated": True}), flush=True)
-            time.sleep(args.sleep_s)
-            continue
-        # window open: run the real bench (it re-probes — the gate is
-        # its own, not ours; pass it through so protocol stays one place)
         env = dict(os.environ, SCALING_MIN_PROBE=str(args.gate))
         env.setdefault("SCALING_ROUNDS", "1")
         p = subprocess.run(
@@ -60,10 +53,11 @@ def main() -> None:
         except json.JSONDecodeError:
             res = {"error": p.stderr[-500:]}
         res["attempt"] = attempt
-        res["supervisor_probe"] = round(probe, 3)
         print(json.dumps(res), flush=True)
         if res.get("efficiency") is not None:
             collected += 1
+        elif time.time() < t_end:
+            time.sleep(args.sleep_s)
     print(json.dumps({"done": True, "rows_collected": collected,
                       "attempts": attempt}), flush=True)
 
