@@ -72,6 +72,12 @@ class MatchSQL:
         views: dict[tuple[str, int], str] = {}
 
         def repl(m: re.Match) -> str:
+            # a MATCH(...) that sits INSIDE an outer string literal is
+            # data, not a table factor — leave it alone. In-string iff
+            # the prefix holds an odd number of quote chars ('' escapes
+            # toggle twice, so plain parity is exact).
+            if statement.count("'", 0, m.start()) % 2 == 1:
+                return m.group(0)
             q = m.group(1).replace("''", "'")
             k = int(m.group(2)) if m.group(2) else self.k_default
             key = (q, k)

@@ -58,3 +58,21 @@ def test_sql_match_parity_and_shared_view(spark):
 
     # unknown term -> empty relation, statement still executes
     assert ms.sql(spark, "SELECT * FROM MATCH('zzqqxnotaterm', 3)").count() == 0
+
+
+def test_match_inside_string_literal_untouched(spark):
+    """MATCH(...) appearing inside an OUTER string literal is data,
+    not a table factor — the rewriter must leave it verbatim."""
+    from lighthouse_spark.api.sqlext import MatchSQL
+    from lighthouse_spark.plans.indexer import FieldSpec, build_index
+    from lighthouse_spark.sources.corpus import synthetic_corpus
+
+    docs = synthetic_corpus(spark, 50).cache()
+    idx = build_index(docs, "doc_id", {"content": FieldSpec("content")}, mode="code")
+    ms = MatchSQL(idx, "content")
+    row = ms.sql(
+        spark,
+        "SELECT 'use MATCH(''return'', 3) like this' AS hint, a.doc_id "
+        "FROM MATCH('return', 3) a LIMIT 1",
+    ).collect()[0]
+    assert row["hint"] == "use MATCH('return', 3) like this"
