@@ -182,6 +182,31 @@ def autocomplete(
     identical second dictionary round trip."""
     fields = fields or ClaimsFieldMap()
     req.validate()
+    if prefetched is None:
+        # memoize the assembled lazy plan per (request, index epoch)
+        # (functions/memo — see SearchEngine.search): warm identical
+        # requests skip the dictionary round trip + plan re-analysis;
+        # re-collect re-executes. The prefetched-path caller
+        # (autocomplete_over_store) memoizes at its own level, where
+        # the store epoch is in the key.
+        from lighthouse_spark.functions import memo
+
+        key = ("ac_plan", memo.epoch_of(index), tuple(vars(fields).items()),
+               req.cache_key(), round_score)
+        return memo.cache_of(index).get_or_build(
+            key,
+            lambda: _autocomplete_build(index, req, fields, round_score, None),
+        )
+    return _autocomplete_build(index, req, fields, round_score, prefetched)
+
+
+def _autocomplete_build(
+    index: InvertedIndex,
+    req: AutoCompleteRequest,
+    fields: ClaimsFieldMap,
+    round_score: int | None,
+    prefetched: dict | None,
+) -> DataFrame:
     docs = index.docs
     id_col = index.doc_id_col
     terms = tokenize_text(req.s, index.mode)
@@ -288,9 +313,29 @@ def autocomplete_over_store(
     terms' blocks decode via flat_view_terms and the UNCHANGED
     autocomplete() runs over the view; parity with the flat index is
     pinned by tests. Cost is O(heads + 50·fields postings), never
-    corpus-shaped."""
+    corpus-shaped.
+
+    The assembled plan is memoized on the CompressedIndex per epoch
+    (functions/memo) — identical warm requests skip the expansion
+    round trip and re-analysis; an incremental commit invalidates."""
     fmap = fields or ClaimsFieldMap()
     req.validate()
+    from lighthouse_spark.functions import memo
+
+    key = ("ac_over_store", cindex._epoch_key(), tuple(vars(fmap).items()),
+           req.cache_key(), round_score)
+    return memo.cache_of(cindex).get_or_build(
+        key,
+        lambda: _autocomplete_over_store_build(cindex, req, fmap, round_score),
+    )
+
+
+def _autocomplete_over_store_build(
+    cindex,
+    req: AutoCompleteRequest,
+    fmap: ClaimsFieldMap,
+    round_score: int | None,
+) -> DataFrame:
     mode = cindex.manifest.get("analyzer_mode", "simple")
     terms = tokenize_text(req.s, mode)
     universe = set(terms)

@@ -523,7 +523,26 @@ class SearchEngine:
     # ---- entry point -------------------------------------------------------
 
     def search(self, req: SearchRequest, round_score: int | None = None) -> DataFrame:
+        """Entry point. The lazy plan is memoized per (request, index
+        epoch) — functions/memo: a repeated identical request reuses
+        the analyzed DataFrame (the prepared-statement shape; measured
+        r8: ~1.0 s of driver-side construction/analysis + ~0.7 s of
+        dictionary round trips per composite request at local scale,
+        vs ~0.2 s of execution). Re-collect re-executes the jobs, so
+        nothing result-shaped is ever cached. Skipped when the opt-in
+        contains-clauses are on (their trigram handles resolve live
+        per request against a mutable store)."""
         req.validate()
+        if self.enable_contains:
+            return self._search_build(req, round_score)
+        from lighthouse_spark.functions import memo
+
+        key = ("search_plan", memo.epoch_of(self.index), req.cache_key(), round_score)
+        return memo.cache_of(self).get_or_build(
+            key, lambda: self._search_build(req, round_score)
+        )
+
+    def _search_build(self, req: SearchRequest, round_score: int | None = None) -> DataFrame:
         s = special.rewrite(truncate_query(req.s))  # search.go:68-69
         terms = self._terms(s)
 
@@ -668,9 +687,45 @@ def search_over_store(
     Scale shape: decode cost is O(query terms' postings) — the Lucene
     analogue of reading only the query's term/.pos entries — and the
     docs side stays the store's bucketed table (filters and the
-    response projection push into its scan)."""
+    response projection push into its scan).
+
+    The assembled lazy plan is memoized on the CompressedIndex per
+    epoch (functions/memo) — an incremental commit bumps the epoch and
+    invalidates, so a warm identical request skips the dictionary
+    round trips and plan re-analysis but never serves stale state."""
     fmap = fields or ClaimsFieldMap()
     req.validate()
+    from lighthouse_spark.functions import memo as _memo
+
+    try:
+        key = (
+            "search_over_store", cindex._epoch_key(), req.cache_key(),
+            tuple(vars(fmap).items()), now_seconds, round_score,
+            tuple(sorted(engine_kwargs.items())),
+        )
+        hash(key)
+    except TypeError:
+        key = None  # unhashable kwargs (e.g. trigram handles) — build fresh
+    if key is not None:
+        return _memo.cache_of(cindex).get_or_build(
+            key,
+            lambda: _search_over_store_build(
+                cindex, req, fmap, now_seconds, round_score, engine_kwargs
+            ),
+        )
+    return _search_over_store_build(
+        cindex, req, fmap, now_seconds, round_score, engine_kwargs
+    )
+
+
+def _search_over_store_build(
+    cindex,
+    req: SearchRequest,
+    fmap: ClaimsFieldMap,
+    now_seconds: float,
+    round_score: int | None,
+    engine_kwargs: dict,
+) -> DataFrame:
     s = special.rewrite(truncate_query(req.s))
     mode = cindex.manifest.get("analyzer_mode", "simple")
     toks = tokenize_text(s, mode)

@@ -56,6 +56,16 @@ class SearchRequest:
     resolve: bool = False               # append RESOLVE_INCLUDES (search.go:88-90)
     explain: bool = False
 
+    def cache_key(self) -> tuple:
+        """Hashable identity of everything that affects the result —
+        the per-epoch plan-cache key (functions/memo)."""
+        return (
+            self.s, self.size, self.from_, self.channel, self.channel_id,
+            self.claim_id, self.claim_type, self.media_type,
+            self.content_type, self.nsfw, self.free_only, self.related_to,
+            self.sort_by, tuple(self.include), self.source, self.resolve,
+        )
+
     def projection(self, available: list[str]) -> list[str]:
         """The response column set (search.go:79-91): name+claimId,
         plus `include`, plus the resolve set — intersected with the
@@ -94,6 +104,10 @@ class AutoCompleteRequest:
     size: int = 10
     from_: int = 0
     nsfw: bool | None = None
+
+    def cache_key(self) -> tuple:
+        """Hashable identity for the per-epoch plan cache."""
+        return (self.s, self.size, self.from_, self.nsfw)
 
     def validate(self) -> None:
         if not self.s:

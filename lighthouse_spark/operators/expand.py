@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from lighthouse_spark.functions import memo
 from lighthouse_spark.operators import scoring
 from lighthouse_spark.plans.indexer import InvertedIndex
 
@@ -102,17 +103,30 @@ def expand_prefix_with_df_fields(
     is bounded by fields×(limit+heads) rows, never the vocabulary's
     prefix-range size.
 
-    Returns {field: (expansions sorted/capped, {term: df})}."""
+    Returns {field: (expansions sorted/capped, {term: df})}.
+
+    Memoized per index epoch (functions/memo): identical warm requests
+    skip the driver round trip entirely — the store's df_map handle
+    cache extended to the expansion scan."""
     if not prefix or not fields:
         return {f: ([], {}) for f in fields}
-    rows = prefix_expansion_plan(index, fields, prefix, head_terms, limit).collect()
-    hi = prefix + "￿"
-    out: dict[str, tuple[list[str], dict[str, int]]] = {}
-    for f in fields:
-        dfm = {r["term"]: int(r["df"]) for r in rows if r["field"] == f}
-        exps = sorted(t for t in dfm if prefix <= t < hi)[:limit]
-        out[f] = (exps, dfm)
-    return out
+
+    def build():
+        rows = prefix_expansion_plan(index, fields, prefix, head_terms, limit).collect()
+        hi = prefix + "￿"
+        out: dict[str, tuple[list[str], dict[str, int]]] = {}
+        for f in fields:
+            dfm = {r["term"]: int(r["df"]) for r in rows if r["field"] == f}
+            exps = sorted(t for t in dfm if prefix <= t < hi)[:limit]
+            out[f] = (exps, dfm)
+        return out
+
+    key = (
+        "prefix_df", memo.epoch_of(index), tuple(fields), prefix,
+        tuple(head_terms), limit,
+    )
+    got = memo.cache_of(index).get_or_build(key, build)
+    return {f: (list(e), dict(d)) for f, (e, d) in got.items()}
 
 
 def expand_prefix_with_df(
@@ -488,44 +502,55 @@ def fuzzy_and_df(
     uniq = sorted(set(terms))
     ds = {t: _auto_fuzziness(t) for t in uniq}
     fuzzy = [t for t in uniq if ds[t] > 0]
-    out_fz: dict[str, dict[str, list[str]]] = {f: {t: [t] for t in uniq} for f in fields}
-    out_df: dict[str, dict[str, int]] = {f: {} for f in fields}
     if not uniq or not fields:
+        return {f: {} for f in fields}, {f: {t: [t] for t in uniq} for f in fields}
+
+    def build():
+        out_fz: dict[str, dict[str, list[str]]] = {
+            f: {t: [t] for t in uniq} for f in fields
+        }
+        out_df: dict[str, dict[str, int]] = {f: {} for f in fields}
+        # exact leg: one bounded IN-list row per present (field, query term)
+        exact = (
+            index.term_stats.filter(
+                F.col("field").isin(list(fields)) & F.col("term").isin(uniq)
+            )
+            .select(
+                "field",
+                F.lit(-1).alias("qi"),
+                F.lit(0).alias("ed"),
+                "term",
+                "df",
+            )
+        )
+        if fuzzy:
+            # fuzzy leg capped IN THE PLAN at limit per (field, query term)
+            # (fuzzy_match_plan; VERDICT r4 wrong #1) — one union, one
+            # driver round trip, <= fields*(terms + terms*limit) rows
+            scan = exact.unionByName(fuzzy_match_plan(index, fields, fuzzy, ds, limit))
+        else:
+            scan = exact
+        rows = scan.collect()
+        grouped: dict[tuple[str, int], list] = {}
+        for r in rows:
+            out_df[r["field"]][r["term"]] = int(r["df"])
+            if r["qi"] >= 0:
+                grouped.setdefault((r["field"], r["qi"]), []).append(r)
+        for f in fields:
+            for i, t in enumerate(fuzzy):
+                cands = sorted((r["ed"], r["term"]) for r in grouped.get((f, i), []))
+                exp = [c[1] for c in cands]
+                out_fz[f][t] = exp or [t]
+            for t in uniq:
+                out_df[f].setdefault(t, 0)  # absent — recorded so nothing refetches
         return out_df, out_fz
-    # exact leg: one bounded IN-list row per present (field, query term)
-    exact = (
-        index.term_stats.filter(
-            F.col("field").isin(list(fields)) & F.col("term").isin(uniq)
-        )
-        .select(
-            "field",
-            F.lit(-1).alias("qi"),
-            F.lit(0).alias("ed"),
-            "term",
-            "df",
-        )
-    )
-    if fuzzy:
-        # fuzzy leg capped IN THE PLAN at limit per (field, query term)
-        # (fuzzy_match_plan; VERDICT r4 wrong #1) — one union, one
-        # driver round trip, <= fields*(terms + terms*limit) rows
-        scan = exact.unionByName(fuzzy_match_plan(index, fields, fuzzy, ds, limit))
-    else:
-        scan = exact
-    rows = scan.collect()
-    grouped: dict[tuple[str, int], list] = {}
-    for r in rows:
-        out_df[r["field"]][r["term"]] = int(r["df"])
-        if r["qi"] >= 0:
-            grouped.setdefault((r["field"], r["qi"]), []).append(r)
-    for f in fields:
-        for i, t in enumerate(fuzzy):
-            cands = sorted((r["ed"], r["term"]) for r in grouped.get((f, i), []))
-            exp = [c[1] for c in cands]
-            out_fz[f][t] = exp or [t]
-        for t in uniq:
-            out_df[f].setdefault(t, 0)  # absent — recorded so nothing refetches
-    return out_df, out_fz
+
+    # memoized per index epoch (functions/memo): a warm identical
+    # request's ONLY dictionary round trip becomes a dict lookup
+    key = ("fuzzy_and_df", memo.epoch_of(index), tuple(fields), tuple(uniq), limit)
+    got_df, got_fz = memo.cache_of(index).get_or_build(key, build)
+    # consumers mutate the df map (engine._df_for_specs merges extras)
+    return memo.copy2(got_df), memo.copy2(got_fz)
 
 
 def expand_fuzzy_all(

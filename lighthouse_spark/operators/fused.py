@@ -67,13 +67,14 @@ def _pairs_cond(pairs_by_field: dict[str, set[str]]):
     return cond
 
 
-def _phrase_freq(terms: tuple[str, ...], lookup=None):
+def _phrase_freq(terms: tuple[str, ...], lookup=None, df_map=None):
     """Exact-adjacency phrase occurrence count over per-term position
     columns (``lookup``: term -> Column; default a `posmap` map column
     in scope). Anchored at each position of terms[0]; every later term
     must sit at anchor+i — the hash-based intersect chain
     (operators/search._adjacency_anchors): O(sum of array sizes) per
-    doc instead of the old filter+array_contains O(product)."""
+    doc instead of the old filter+array_contains O(product). With
+    ``df_map`` the chain intersects in ascending-df order (r8)."""
     from lighthouse_spark.operators.search import _adjacency_anchors
 
     if lookup is None:
@@ -82,7 +83,7 @@ def _phrase_freq(terms: tuple[str, ...], lookup=None):
     rest = list(terms[1:])
     if not rest:
         return F.size(anchor)
-    return F.size(_adjacency_anchors(anchor, rest, lookup))
+    return F.size(_adjacency_anchors(anchor, rest, lookup, df_map, terms[0]))
 
 
 def phrase_match_ids(
@@ -120,7 +121,9 @@ def phrase_match_ids(
     )
     hit = None
     for ps in valid:
-        c = (F.col("field") == ps.field) & (_phrase_freq(ps.terms, look) > 0)
+        c = (F.col("field") == ps.field) & (
+            _phrase_freq(ps.terms, look, dfmaps.get(ps.field)) > 0
+        )
         hit = c if hit is None else (hit | c)
     return pos.filter(hit).select("doc_id").distinct()
 
@@ -199,7 +202,7 @@ def _clause_rows(
             n, avgdl = corpus[ps.field]
             dfm = dfmaps[ps.field]
             idf_sum = sum(idf_py(dfm[t], n) for t in ps.terms)
-            freq = _phrase_freq(ps.terms, look)
+            freq = _phrase_freq(ps.terms, look, dfm)
             parts.append(
                 pos.filter(F.col("field") == ps.field)
                 .withColumn("freq", freq)

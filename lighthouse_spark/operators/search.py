@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lighthouse_spark.functions import memo
 from lighthouse_spark.operators import scoring
 from lighthouse_spark.plans.indexer import InvertedIndex
 
@@ -168,39 +169,70 @@ def prefetch_df(
     clause would pay ~10 driver round trips — this is the single
     broadcast-sized stats fetch they all share."""
     uniq = sorted(set(terms))
-    out: dict[str, dict[str, int]] = {f: {} for f in fields}
     if not uniq or not fields:
-        return out
-    rows = (
-        index.term_stats.filter(
-            F.col("field").isin(list(fields)) & F.col("term").isin(uniq)
+        return {f: {} for f in fields}
+
+    def build():
+        out: dict[str, dict[str, int]] = {f: {} for f in fields}
+        rows = (
+            index.term_stats.filter(
+                F.col("field").isin(list(fields)) & F.col("term").isin(uniq)
+            )
+            .select("field", "term", "df")
+            .collect()
         )
-        .select("field", "term", "df")
-        .collect()
-    )
-    for r in rows:
-        out[r["field"]][r["term"]] = int(r["df"])
-    return out
+        for r in rows:
+            out[r["field"]][r["term"]] = int(r["df"])
+        return out
+
+    # memoized per index epoch (functions/memo) — warm identical
+    # lookups skip the driver round trip; callers may mutate, so copy
+    key = ("prefetch_df", memo.epoch_of(index), tuple(fields), tuple(uniq))
+    return memo.copy2(memo.cache_of(index).get_or_build(key, build))
 
 
-def _adjacency_anchors(anchor, rest: list[str], lookup=None):
+def _shift_by(i: int):
+    # factory closure: HOF lambdas must stay UNARY (a second,
+    # even defaulted, param binds the (element, index) form)
+    return lambda y: y - i
+
+
+def _adjacency_anchors(
+    anchor, rest: list[str], lookup=None, df_map=None, anchor_term: str | None = None
+):
     """Anchor positions x (of the phrase's first term) such that every
     later term t_i sits at x+i — computed as a chain of hash-based
     array_intersects over the per-term position arrays. ``lookup``
     maps a term to its positions Column (default: a `posmap` map
     column in scope). Positions are distinct within a doc, so set
-    semantics are exact."""
+    semantics are exact.
+
+    The chain is order-free under the shift convention (anchors =
+    ∩_i (positions(t_i) − i), slot 0 being the anchor), so when
+    ``df_map`` and ``anchor_term`` are given the intersect starts from
+    the RAREST term's shifted array and every later intersect shrinks
+    from the smallest set (VERDICT r7 next #3: the old chain always
+    started from terms[0] — the LARGEST array for stopword-anchored
+    phrases like "the license"). Result is identical in any order
+    (set intersection is commutative); order-invariance is pinned by
+    tests/test_phrase."""
     if lookup is None:
         lookup = lambda t: F.element_at("posmap", t)  # noqa: E731
-    acc = anchor
 
-    def shift_by(i: int):
-        # factory closure: HOF lambdas must stay UNARY (a second,
-        # even defaulted, param binds the (element, index) form)
-        return lambda y: y - i
+    def arr_of(i):
+        if i == 0:
+            return anchor
+        return F.transform(lookup(rest[i - 1]), _shift_by(i))
 
-    for i, t in enumerate(rest, start=1):
-        acc = F.array_intersect(acc, F.transform(lookup(t), shift_by(i)))
+    n_slots = 1 + len(rest)
+    order = list(range(n_slots))
+    if df_map is not None and anchor_term is not None and n_slots > 1:
+        slot_terms = [anchor_term] + list(rest)
+        order.sort(key=lambda i: (df_map.get(slot_terms[i], 1 << 62), i))
+    acc = None
+    for i in order:
+        a = arr_of(i)
+        acc = a if acc is None else F.array_intersect(acc, a)
     return acc
 
 
@@ -261,10 +293,18 @@ def phrase(
     # df per query term (tiny driver-side lookup unless prefetched;
     # also lets us bail out early when any phrase term is absent).
     if df_map is None:
-        ts = index.term_stats.filter(
-            (F.col("field") == field) & F.col("term").isin(uniq)
-        ).select("term", "df")
-        df_map = {r["term"]: int(r["df"]) for r in ts.collect()}
+        # memoized per epoch (functions/memo) + the whole lazy plan
+        # cached: a warm identical phrase query costs ZERO driver
+        # round trips and no re-analysis — re-collect re-executes.
+        key = ("phrase_plan", memo.epoch_of(index), field, tuple(terms),
+               boost, slop, slop_mode)
+        return memo.cache_of(index).get_or_build(
+            key,
+            lambda: phrase(
+                index, field, terms, boost, slop,
+                prefetch_df(index, [field], uniq)[field], slop_mode,
+            ),
+        )
     # absent terms may be recorded as df=0 (prefetch) or missing —
     # either way the phrase cannot match anywhere
     if any(not df_map.get(t) for t in terms):
@@ -291,8 +331,12 @@ def phrase(
         # a hash set per row — O(|A|+|B|) per term vs the old
         # filter+array_contains O(|A|*|B|); equivalence pinned by the
         # phrase tests (positions are distinct within a doc, so the
-        # set-intersect count equals the anchor-scan count).
-        freq = F.size(_adjacency_anchors(anchor, rest, look)).cast("double")
+        # set-intersect count equals the anchor-scan count). r8: the
+        # chain intersects in ASCENDING-df order (df_map is in scope),
+        # so dense-term phrases start from the rarest array.
+        freq = F.size(
+            _adjacency_anchors(anchor, rest, look, df_map, terms[0])
+        ).cast("double")
     elif slop_mode == "lucene":
         # Lucene-exact sloppy freq (fractional) over the per-term
         # position arrays — Arrow-batched, candidate docs only.

@@ -210,7 +210,27 @@ def wand_topk(
     boost: float = 1.0,
 ) -> DataFrame:
     """BM25 top-k via block-max WAND; exact-equivalent to the
-    exhaustive DataFrame scorer (tests pin equivalence)."""
+    exhaustive DataFrame scorer (tests pin equivalence).
+
+    The lazy plan is memoized per index epoch (functions/memo): df_map
+    was already epoch-cached, this extends the same treatment to the
+    plan itself, so a warm query is exactly ONE job with zero driver
+    round trips. Re-collect re-executes the kernel."""
+    from lighthouse_spark.functions import memo
+
+    key = ("wand_plan", cindex._epoch_key(), field, tuple(terms), k, boost)
+    return memo.cache_of(cindex).get_or_build(
+        key, lambda: _wand_topk_build(cindex, field, terms, k, boost)
+    )
+
+
+def _wand_topk_build(
+    cindex: CompressedIndex,
+    field: str,
+    terms: list[str],
+    k: int,
+    boost: float,
+) -> DataFrame:
     spark = cindex.spark
     uniq = sorted(set(terms))
     if not uniq:

@@ -85,11 +85,26 @@ class InvertedIndex:
             self._corpus = {r["field"]: (int(r["n_docs"]), float(r["avgdl"])) for r in rows}
         return self._corpus
 
-    def cache(self) -> "InvertedIndex":
-        self.postings = self.postings.cache()
-        self.term_stats = self.term_stats.cache()
-        self.doc_stats = self.doc_stats.cache()
-        self.docs = self.docs.cache()
+    def cache(self, target_partitions: int | None = None) -> "InvertedIndex":
+        """Cache the four frames for serving, COALESCED to ~core count
+        first (default: sparkContext.defaultParallelism — cluster-wide
+        cores on a real deployment, so the knob is scale-adaptive, not
+        a local[32] constant). Rationale (guide §2.2/§6, measured r8):
+        the postings lineage inherits the source's partitioning (e.g.
+        a 4×cpus-partition corpus), so every warm query stage over the
+        cached frames dispatched 128 tiny tasks — ~4 scheduler waves
+        of ~2 ms tasks per stage, pure overhead at serving time.
+        coalesce (no shuffle) keeps one wave per stage without
+        changing any result."""
+        n = target_partitions or self.docs.sparkSession.sparkContext.defaultParallelism
+
+        def c(df: DataFrame) -> DataFrame:
+            return df.coalesce(n).cache()  # coalesce never increases
+
+        self.postings = c(self.postings)
+        self.term_stats = c(self.term_stats)
+        self.doc_stats = c(self.doc_stats)
+        self.docs = c(self.docs)
         return self
 
     @property
