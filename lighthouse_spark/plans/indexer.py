@@ -36,7 +36,7 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lighthouse_spark.functions.analysis import term_freqs_udf, term_postings_udf
+from lighthouse_spark.functions.analysis import doc_terms_arrow
 
 K1 = 1.2
 B = 0.75
@@ -129,82 +129,69 @@ def build_index(
     """
     specs = {k: (v if isinstance(v, FieldSpec) else FieldSpec(v)) for k, v in fields.items()}
     any_positions = any(s.positions for s in specs.values())
-    pos_specs = {k: s for k, s in specs.items() if s.positions}
-    tf_specs = {k: s for k, s in specs.items() if not s.positions}
+    id_type = docs.schema[doc_id_col].dataType.simpleString()
 
     parts: list[DataFrame] = []
     ds_parts: list[DataFrame] = []
     intermediates: list[DataFrame] = []
-    if tf_specs:
-        # Shuffle-free postings for non-positional fields: tf/dl are
-        # aggregated inside the tokenizer UDF (one map entry per
-        # distinct term), so no token-level explode+groupBy — at 10^12
-        # docs that groupBy is the single largest shuffle in the build.
-        tfu = term_freqs_udf(mode)
-        for name, spec in tf_specs.items():
-            agg = docs.select(
-                F.col(doc_id_col).alias("doc_id"),
-                F.lit(name).alias("field"),
-                tfu(F.col(spec.column)).alias("_s"),
+    # Shuffle-free per-doc aggregates: tf/dl (and occurrence positions
+    # for positional fields) are grouped INSIDE the tokenize task, so
+    # no token-level explode+groupBy(+collect_list) shuffle exists —
+    # at 10^12 docs that shuffle moves one row per OCCURRENCE, the
+    # largest shuffle in a build. r8: the aggregate is a mapInArrow
+    # stage with zero per-token Python and no pandas object-list round
+    # trip (functions/analysis.doc_terms_arrow, guide §4.2) — the old
+    # pandas UDFs looped Python over every token occurrence.
+    for name, spec in specs.items():
+        tok_schema = f"doc_id {id_type}, dl long, terms array<string>, tfs array<int>"
+        if spec.positions:
+            tok_schema += ", poss array<array<int>>"
+        agg = (
+            docs.select(
+                F.col(doc_id_col).alias("doc_id"), F.col(spec.column).alias("_src")
             )
-            if cache_agg:
-                # one tokenize pass total: postings AND doc_stats both
-                # derive from this persisted per-doc aggregate
-                agg = agg.persist()
-                intermediates.append(agg)
-            p = agg.select(
-                "doc_id", "field", F.col("_s.dl").alias("dl"),
-                F.explode("_s.tfs").alias("term", "tf"),
-            ).select("field", "term", "doc_id", F.col("tf").cast("long").alias("tf"), "dl")
-            if any_positions:
-                p = p.withColumn("positions", F.lit(None).cast("array<int>"))
-            parts.append(p)
-            # doc_stats straight off the per-doc aggregate: one row per
-            # doc pre-explode — no distinct/shuffle over posting rows
-            ds_parts.append(
-                agg.select("doc_id", "field", F.col("_s.dl").alias("dl")).filter(
-                    F.col("dl") > 0
-                )
+            .mapInArrow(doc_terms_arrow(mode, spec.positions), tok_schema)
+            .select(
+                "doc_id", F.lit(name).alias("field"), "dl", "terms", "tfs",
+                *(["poss"] if spec.positions else []),
             )
-    if pos_specs:
-        # Positional fields: the same shuffle-free per-doc aggregate
-        # as the tf path, with occurrence positions collected inside
-        # the tokenizer UDF — no token-level explode + groupBy +
-        # collect_list (that shuffle moves one row per OCCURRENCE; at
-        # 10^12 docs it is the largest shuffle in a positional build).
-        tpu = term_postings_udf(mode)
-        for name, spec in pos_specs.items():
-            agg = docs.select(
-                F.col(doc_id_col).alias("doc_id"),
-                F.lit(name).alias("field"),
-                tpu(F.col(spec.column)).alias("_s"),
-            )
-            if cache_agg:
-                agg = agg.persist()
-                intermediates.append(agg)
+        )
+        if cache_agg:
+            # one tokenize pass total: postings AND doc_stats both
+            # derive from this persisted per-doc aggregate
+            agg = agg.persist()
+            intermediates.append(agg)
+        if spec.positions:
             p = (
                 agg.select(
-                    "doc_id", "field", F.col("_s.dl").alias("dl"),
-                    F.col("_s.terms").alias("_terms"),
-                    F.col("_s.tfs").alias("_tfs"),
-                    F.col("_s.poss").alias("_poss"),
-                )
-                .select(
                     "doc_id", "field", "dl",
-                    F.explode(F.arrays_zip("_terms", "_tfs", "_poss")).alias("z"),
+                    F.explode(F.arrays_zip("terms", "tfs", "poss")).alias("z"),
                 )
                 .select(
-                    "field", F.col("z._terms").alias("term"), "doc_id",
-                    F.col("z._tfs").cast("long").alias("tf"), "dl",
-                    F.col("z._poss").alias("positions"),
+                    "field", F.col("z.terms").alias("term"), "doc_id",
+                    F.col("z.tfs").cast("long").alias("tf"), "dl",
+                    F.col("z.poss").alias("positions"),
                 )
             )
-            parts.append(p)
-            ds_parts.append(
-                agg.select("doc_id", "field", F.col("_s.dl").alias("dl")).filter(
-                    F.col("dl") > 0
+        else:
+            p = (
+                agg.select(
+                    "doc_id", "field", "dl",
+                    F.explode(F.arrays_zip("terms", "tfs")).alias("z"),
+                )
+                .select(
+                    "field", F.col("z.terms").alias("term"), "doc_id",
+                    F.col("z.tfs").cast("long").alias("tf"), "dl",
                 )
             )
+            if any_positions:
+                p = p.withColumn("positions", F.lit(None).cast("array<int>"))
+        parts.append(p)
+        # doc_stats straight off the per-doc aggregate: one row per
+        # doc pre-explode — no distinct/shuffle over posting rows
+        ds_parts.append(
+            agg.select("doc_id", "field", "dl").filter(F.col("dl") > 0)
+        )
 
     postings = parts[0]
     for p in parts[1:]:

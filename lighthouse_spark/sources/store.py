@@ -205,6 +205,217 @@ def _encode_group(pdf: pd.DataFrame, block_size: int, avgdl_map: dict[str, float
     )
 
 
+def _positions_stream(flat: np.ndarray, plens: np.ndarray):
+    """Concatenated per-doc [n, p0(abs), gap...] uint64 stream + per-doc
+    byte counts after varint encoding — the SAME layout `_encode_group`
+    builds (byte-identical; pinned by test_codec/store roundtrips).
+    `flat` is every position of every posting concatenated in posting
+    order; `plens` the per-posting position counts."""
+    n = plens.size
+    total = int(plens.sum())
+    doc_out_start = np.zeros(n, dtype=np.int64)
+    np.cumsum(plens[:-1] + 1, out=doc_out_start[1:])
+    stream = np.empty(total + n, dtype=np.uint64)
+    stream[doc_out_start] = plens.astype(np.uint64)
+    if total:
+        d = np.empty(total, dtype=np.int64)
+        d[0] = flat[0]
+        d[1:] = flat[1:] - flat[:-1]
+        doc_flat_start = np.zeros(n, dtype=np.int64)
+        np.cumsum(plens[:-1], out=doc_flat_start[1:])
+        fs = doc_flat_start[plens > 0]
+        d[fs] = flat[fs]  # absolute first position per doc
+        val_mask = np.ones(total + n, dtype=bool)
+        val_mask[doc_out_start] = False
+        stream[val_mask] = d.astype(np.uint64)
+    p_buf, p_len = codec.varint_encode_with_lengths(stream)
+    doc_bytes = np.add.reduceat(p_len, doc_out_start) if n else np.zeros(0, np.int64)
+    return p_buf, doc_bytes
+
+
+def _block_encoder_arrow(block_size: int, avgdl_map: dict[str, float]):
+    """mapInArrow encoder: per-doc aggregate rows (doc_id, field, dl,
+    terms, tfs, poss, shard), partitioned by (shard, field), -> encoded
+    POSTING_SCHEMA block rows.
+
+    This replaces explode → 1-row-per-posting shuffle → Arrow→pandas
+    applyInPandas (whose `positions` column materialized one Python
+    list per posting — the encode stage's dominant cost). Here the
+    shuffle moves ONE row per doc (dl once per doc, not per posting),
+    the explode happens in numpy inside the task, and the per-block
+    binary slices are zero-copy offset windows over the single varint
+    buffer. Memory per task is one shard-field group's postings —
+    bounded by the shard-count scale knob, same contract as the old
+    per-group pandas encode. Output rows are emitted sorted by (field,
+    term, block_id) within each shard, so the writer needs no extra
+    repartition/sort: term-sorted row groups keep the IN-list scan
+    pruning identical to the old layout."""
+    import pyarrow as pa
+
+    def enc(batches):
+        batches = [b for b in batches if b.num_rows]
+        if not batches:
+            return
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        shard_r = tbl["shard"].to_numpy()
+        field_r = tbl["field"].to_pandas().to_numpy()
+        nrows = len(shard_r)
+        # distinct (shard, field) groups, processed in sorted order so
+        # each output file stays (field, term)-sorted
+        keys = sorted(
+            {(int(s), str(f)) for s, f in zip(shard_r, field_r)}
+        )
+        terms_c = tbl["terms"].combine_chunks()
+        tfs_c = tbl["tfs"].combine_chunks()
+        poss_c = tbl["poss"].combine_chunks()
+        ids_c = tbl["doc_id"].to_numpy().astype(np.int64)
+        dls_c = tbl["dl"].to_numpy().astype(np.int64)
+        for shard, field in keys:
+            rmask = (shard_r == shard) & (field_r == field)
+            ridx = np.flatnonzero(rmask)
+            take = pa.array(ridx)
+            g_terms = terms_c.take(take)
+            g_tfs = tfs_c.take(take)
+            g_ids = ids_c[ridx]
+            g_dls = dls_c[ridx]
+            k = np.diff(g_terms.offsets.to_numpy())
+            n = int(k.sum())
+            if n == 0:
+                continue
+            row_of = np.repeat(np.arange(len(ridx), dtype=np.int64), k)
+            ids = g_ids[row_of]
+            dls = g_dls[row_of]
+            tfs = g_tfs.values.to_numpy().astype(np.int64)
+            # lexicographic term order == the old pandas string sort
+            denc = g_terms.values.dictionary_encode()
+            codes = denc.indices.to_numpy().astype(np.int64)
+            uniq = denc.dictionary
+            rank = np.empty(len(uniq), dtype=np.int64)
+            rank[np.argsort(np.asarray(uniq, dtype=object))] = np.arange(len(uniq))
+            rcodes = rank[codes]
+            order = np.lexsort((ids, rcodes))
+            ids, tfs, dls, codes = ids[order], tfs[order], dls[order], codes[order]
+
+            avgdl = float(avgdl_map.get(field, 1.0))
+            new_term = np.ones(n, dtype=bool)
+            new_term[1:] = codes[1:] != codes[:-1]
+            term_start = np.maximum.accumulate(
+                np.where(new_term, np.arange(n), 0)
+            )
+            rk = np.arange(n) - term_start
+            block_start = new_term | (rk % block_size == 0)
+            starts = np.flatnonzero(block_start)
+            ends = np.append(starts[1:], n)
+            nb = starts.size
+
+            diffs = np.zeros(n, dtype=np.uint64)
+            if n > 1:
+                diffs[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
+            gaps = np.where(block_start, codec.zigzag_encode(ids), diffs)
+            id_buf, id_len = codec.varint_encode_with_lengths(gaps)
+            tf_buf, tf_len = codec.varint_encode_with_lengths(tfs.astype(np.uint64))
+            dl_buf, dl_len = codec.varint_encode_with_lengths(dls.astype(np.uint64))
+
+            bounds = np.append(starts, n)
+
+            def bin_col(buf, lens):
+                off = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens, out=off[1:])
+                boff = off[bounds].astype(np.int32)
+                return pa.Array.from_buffers(
+                    pa.binary(), nb,
+                    [None, pa.py_buffer(boff), pa.py_buffer(buf)],
+                )
+
+            tfn = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            max_tfn = np.maximum.reduceat(tfn, starts)
+
+            # a field is entirely positional or not, so a group's poss
+            # column is either all-null or fully populated
+            g_poss = poss_c.take(take)
+            if g_poss.null_count == 0:
+                flat_lists = g_poss.flatten()  # one list per posting
+                plens_all = np.diff(flat_lists.offsets.to_numpy())
+                flat_all = flat_lists.values.to_numpy().astype(np.int64)
+                # gather position segments into sorted posting order
+                plens = plens_all[order]
+                seg_start = np.zeros(n, dtype=np.int64)
+                np.cumsum(plens_all[:-1], out=seg_start[1:])
+                total = int(plens.sum())
+                if total:
+                    out_base = np.zeros(n, dtype=np.int64)
+                    np.cumsum(plens[:-1], out=out_base[1:])
+                    gather = (
+                        np.repeat(seg_start[order], plens)
+                        + np.arange(total)
+                        - np.repeat(out_base, plens)
+                    )
+                    flat_sorted = flat_all[gather]
+                else:
+                    flat_sorted = np.zeros(0, dtype=np.int64)
+                p_buf, doc_bytes = _positions_stream(flat_sorted, plens)
+                p_off = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(doc_bytes, out=p_off[1:])
+                pboff = p_off[bounds].astype(np.int32)
+                pos_col = pa.Array.from_buffers(
+                    pa.binary(), nb, [None, pa.py_buffer(pboff), pa.py_buffer(p_buf)]
+                )
+            else:
+                pos_col = pa.nulls(nb, pa.binary())
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.full(nb, shard, dtype=np.int32)),
+                    pa.array([field] * nb, pa.string()),
+                    uniq.take(pa.array(codes[starts])),
+                    pa.array((rk[starts] // block_size).astype(np.int32)),
+                    pa.array((ends - starts).astype(np.int32)),
+                    bin_col(id_buf, id_len),
+                    bin_col(tf_buf, tf_len),
+                    bin_col(dl_buf, dl_len),
+                    pos_col,
+                    pa.array(max_tfn),
+                    pa.array(ids[ends - 1]),
+                    pa.array(np.full(nb, avgdl)),
+                ],
+                _BLOCK_COLS,
+            )
+
+    return enc
+
+
+def _agg_blocks_arrow(
+    aggs: list[DataFrame],
+    n_shards: int,
+    block_size: int,
+    avgdl_map: dict[str, float],
+) -> DataFrame:
+    """Per-doc aggregate frames (one per field) -> encoded block rows
+    with ONE doc-level shuffle (guide §8: decide/move with the per-doc
+    proxy rows; the old path exploded to per-posting rows first, so the
+    shuffle carried dl and doc_id once per POSTING plus per-row
+    overhead, then a second exchange repartitioned the encoded
+    blocks)."""
+    frames = []
+    for a in aggs:
+        cols = [F.col(c) for c in ("doc_id", "field", "dl", "terms", "tfs")]
+        if "poss" in a.columns:
+            frames.append(a.select(*cols, F.col("poss")))
+        else:
+            frames.append(
+                a.select(*cols, F.lit(None).cast("array<array<int>>").alias("poss"))
+            )
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f)
+    u = u.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    return u.repartition("shard", "field").mapInArrow(
+        _block_encoder_arrow(block_size, dict(avgdl_map)), POSTING_SCHEMA
+    )
+
+
 @dataclass
 class CompressedIndex:
     """Handle over a persisted index directory (base + deltas)."""
@@ -791,20 +1002,26 @@ def save_index(
         # (one fewer serial stage on the build's critical path; serial
         # job latency is what caps N->4N scaling efficiency). Each
         # intermediate is one field's (doc_id, field, _s) aggregate.
-        for a in index._intermediates:
+        # r8: the per-field materializations are independent — run them
+        # from driver threads so the fields' tokenize jobs overlap
+        # (guide §2.6; a 4-field claims build paid 4 serial job tails)
+        def _materialize(a):
             o = Observation()
             a.observe(
                 o,
                 F.first("field").alias("fld"),
-                F.count(F.when(F.col("_s.dl") > 0, F.lit(1))).alias("n"),
-                F.sum("_s.dl").alias("dl"),
+                F.count(F.when(F.col("dl") > 0, F.lit(1))).alias("n"),
+                F.sum("dl").alias("dl"),
             ).count()
-            v = o.get
-            n = int(v["n"] or 0)
-            dl = int(v["dl"] or 0)
-            if n:
-                corpus[str(v["fld"])] = (n, dl / n)
-                total_dls[str(v["fld"])] = dl
+            return o.get
+
+        with ThreadPoolExecutor(max_workers=max(2, len(index._intermediates))) as mex:
+            for v in mex.map(_materialize, index._intermediates):
+                n = int(v["n"] or 0)
+                dl = int(v["dl"] or 0)
+                if n:
+                    corpus[str(v["fld"])] = (n, dl / n)
+                    total_dls[str(v["fld"])] = dl
     else:
         flat = flat.persist()
         flat.count()
@@ -897,18 +1114,34 @@ def save_index(
                     corpus[fn] = (n, dl / n)
                     total_dls[fn] = dl
 
-        # postings blocks: group by (shard, field) and encode in pandas
+        # postings blocks. Fast path (r8): encode straight from the
+        # cached per-doc aggregates in ONE doc-level shuffle +
+        # mapInArrow (_agg_blocks_arrow) — no per-posting explode
+        # shuffle, no Arrow→pandas object lists, no second exchange of
+        # the encoded blocks (rows leave the encoder already (field,
+        # term)-sorted per shard). Fallback keeps the per-posting
+        # pandas encode for indexes built without cache_agg.
         avgdl_map = {f: v[1] for f, v in corpus.items()}
-        p = flat.withColumn(
-            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
-        )
-        if "positions" not in flat.columns:
-            p = p.withColumn("positions", F.lit(None).cast("array<int>"))
+        if index._intermediates:
+            blocks = _agg_blocks_arrow(
+                index._intermediates, n_shards, block_size, avgdl_map
+            )
+        else:
+            p = flat.withColumn(
+                "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+            )
+            if "positions" not in flat.columns:
+                p = p.withColumn("positions", F.lit(None).cast("array<int>"))
 
-        def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _encode_group(pdf, block_size, avgdl_map)
+            def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+                return _encode_group(pdf, block_size, avgdl_map)
 
-        blocks = p.groupBy("shard", "field").applyInPandas(enc, POSTING_SCHEMA)
+            blocks = (
+                p.groupBy("shard", "field")
+                .applyInPandas(enc, POSTING_SCHEMA)
+                .repartition("shard")
+                .sortWithinPartitions("field", "term", "block_id")
+            )
         b_aggs = []
         for s in range(n_shards):
             cond = F.col("shard") == s
@@ -916,8 +1149,6 @@ def save_index(
             b_aggs.append(F.sum(F.when(cond, F.col("n_docs"))).alias(f"po_{s}"))
         (
             blocks.observe(obs_blocks, *b_aggs)
-            .repartition("shard")
-            .sortWithinPartitions("field", "term", "block_id")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(f"{path}/{dirs['postings']}")

@@ -273,17 +273,25 @@ def apply_incremental(
             f: (v["total_dl"] / v["n_docs"] if v["n_docs"] else 1.0)
             for f, v in man["corpus"].items()
         }
-        p = delta_idx.postings.withColumn(
-            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(man["n_shards"])).cast("int")
-        )
-        if "positions" not in delta_idx.postings.columns:
-            p = p.withColumn("positions", F.lit(None).cast("array<int>"))
         bs = man["block_size"]
+        if delta_idx._intermediates:
+            # r8 fast path: encode from the cached per-doc aggregates
+            # (store._agg_blocks_arrow — one doc-level shuffle, no
+            # per-posting explode / pandas round trip)
+            blocks = store_mod._agg_blocks_arrow(
+                delta_idx._intermediates, man["n_shards"], bs, avgdl_now
+            )
+        else:
+            p = delta_idx.postings.withColumn(
+                "shard", F.pmod(F.xxhash64("doc_id"), F.lit(man["n_shards"])).cast("int")
+            )
+            if "positions" not in delta_idx.postings.columns:
+                p = p.withColumn("positions", F.lit(None).cast("array<int>"))
 
-        def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-            return store_mod._encode_group(pdf, bs, avgdl_now)
+            def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+                return store_mod._encode_group(pdf, bs, avgdl_now)
 
-        blocks = p.groupBy("shard", "field").applyInPandas(enc, POSTING_SCHEMA)
+            blocks = p.groupBy("shard", "field").applyInPandas(enc, POSTING_SCHEMA)
         blocks.write.mode("overwrite").parquet(f"{cindex.path}/postings_delta/{snap}")
 
     def w_doc_stats():
