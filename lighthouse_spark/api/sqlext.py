@@ -70,13 +70,15 @@ class MatchSQL:
         MATCH in one statement shares one view (and Spark's plan cache
         reuses the underlying plan across statements)."""
         views: dict[tuple[str, int], str] = {}
+        in_string = _string_spans(statement)
 
         def repl(m: re.Match) -> str:
             # a MATCH(...) that sits INSIDE an outer string literal is
-            # data, not a table factor — leave it alone. In-string iff
-            # the prefix holds an odd number of quote chars ('' escapes
-            # toggle twice, so plain parity is exact).
-            if statement.count("'", 0, m.start()) % 2 == 1:
+            # data, not a table factor — leave it alone. The span scan
+            # handles '' and \' escapes and ignores quotes inside
+            # -- / /* */ comments (ADVICE r7: bare quote parity
+            # miscounted an apostrophe'd comment before a real MATCH).
+            if in_string(m.start()):
                 return m.group(0)
             q = m.group(1).replace("''", "'")
             k = int(m.group(2)) if m.group(2) else self.k_default
@@ -87,4 +89,50 @@ class MatchSQL:
                 views[key] = name
             return views[key]
 
-        return spark.sql(_MATCH_RE.sub(repl, statement))
+        out = spark.sql(_MATCH_RE.sub(repl, statement))
+        # spark.sql analyzes eagerly, so the views are resolved into
+        # the returned plan — drop them to keep a long-lived session's
+        # catalog clean (ADVICE r7: names accumulated per statement)
+        for name in views.values():
+            spark.catalog.dropTempView(name)
+        return out
+
+
+def _string_spans(statement: str):
+    """Linear scan classifying each offset of a Spark SQL statement:
+    returns ``in_string(pos) -> bool``. Tracks single-quoted string
+    literals with both '' and \\' escapes, and skips ``--`` line and
+    ``/* */`` block comments entirely (quotes inside comments are
+    inert). Double-quoted literals are tracked the same way."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(statement)
+    while i < n:
+        c = statement[i]
+        if c == "-" and statement.startswith("--", i):
+            j = statement.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif c == "/" and statement.startswith("/*", i):
+            j = statement.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        elif c in ("'", '"'):
+            quote, start = c, i
+            i += 1
+            while i < n:
+                if statement[i] == "\\":
+                    i += 2
+                    continue
+                if statement[i] == quote:
+                    if i + 1 < n and statement[i + 1] == quote:  # '' escape
+                        i += 2
+                        continue
+                    break
+                i += 1
+            spans.append((start, min(i, n - 1)))
+            i += 1
+        else:
+            i += 1
+
+    def in_string(pos: int) -> bool:
+        return any(a < pos <= b for a, b in spans)
+
+    return in_string

@@ -295,6 +295,17 @@ def execute_collapsed(
     map adds no new plan-size order."""
     spark = index.spark
     corpus = index.corpus_stats()
+    # ADVICE r7: a folded weight of exactly 0.0 would drop the NULL
+    # candidacy marker a 0-score clause row still carries on the
+    # clause-shaped path. Scores are sums of idf(>0)·qtf(≥1)·boost, so
+    # requiring positive boosts (every engine clause uses the
+    # reference's constant boosts ≥1) makes cancellation impossible.
+    bad = [x.clause for x in list(match_specs) + list(phrase_specs) if x.boost <= 0]
+    if bad:
+        raise ValueError(
+            f"execute_collapsed requires positive clause boosts, got {bad}; "
+            "use execute() for zero/negative-boost clauses"
+        )
     gate_vals = sorted(
         {x.gate for x in list(match_specs) + list(phrase_specs) if x.gate}
     )

@@ -182,21 +182,32 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = np.cumsum(r.reshape(w, bpp), axis=0, dtype=np.int64).reshape(stride) % 256
         elif ft == 2:  # Up
             rec = (r + prev) % 256
-        elif ft == 3:  # Average (left-sequential)
-            rec = r
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + (left + prev[x]) // 2) % 256
-        elif ft == 4:  # Paeth (left-sequential)
-            rec = r
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (rec[x] + pred) % 256
+        elif ft == 3:  # Average — left-sequential per pixel, channels
+            # as one vector lane (ADVICE r7: the per-byte loop was
+            # O(h·w·channels) interpreter iterations; this is O(h·w))
+            rp = r.reshape(w, bpp)
+            pv = prev.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                left = (rp[x] + (left + pv[x]) // 2) % 256
+                rp[x] = left
+            rec = rp.reshape(stride)
+        elif ft == 4:  # Paeth — same per-pixel channel-vector scan
+            rp = r.reshape(w, bpp)
+            pv = prev.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                b = pv[x]
+                p = left + b - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, upleft)
+                )
+                upleft = b
+                left = (rp[x] + pred) % 256
+                rp[x] = left
+            rec = rp.reshape(stride)
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = rec

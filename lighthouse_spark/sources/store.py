@@ -1098,10 +1098,34 @@ def save_index(
             .parquet(f"{path}/{dirs['term_stats']}")
         )
 
+    def w_term_stats_from_agg():
+        # r8: with cached per-doc aggregates, the dictionary derives
+        # from THEM (terms are distinct per doc, so count(*) per
+        # (field, term) == df == sum of block n_docs) — identical
+        # result, but the job reads the in-memory aggregate instead of
+        # the just-written postings parquet, and therefore runs
+        # CONCURRENTLY with the encode rather than serially after it
+        # (the old chain put the dictionary on the build's critical
+        # path).
+        tp = term_partitions or max(2, n_shards // 2)
+        u = None
+        for a in index._intermediates:
+            part = a.select("field", F.explode("terms").alias("term"))
+            u = part if u is None else u.unionByName(part)
+        (
+            u.groupBy("field", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .repartitionByRange(tp, "field", "term")
+            .sortWithinPartitions("field", "term")
+            .write.mode("overwrite")
+            .parquet(f"{path}/{dirs['term_stats']}")
+        )
+
     obs_blocks = Observation()
-    with ThreadPoolExecutor(max_workers=3) as ex:
+    with ThreadPoolExecutor(max_workers=4) as ex:
         f_docs = ex.submit(w_docs)
         f_ds = ex.submit(w_doc_stats)
+        f_ts = ex.submit(w_term_stats_from_agg) if index._intermediates else None
         if not corpus:
             # no cached per-doc aggregate to observe: corpus stats
             # ride the doc_stats write, which then gates the encode
@@ -1153,7 +1177,8 @@ def save_index(
             .partitionBy("shard")
             .parquet(f"{path}/{dirs['postings']}")
         )
-        f_ts = ex.submit(w_term_stats)  # needs the postings just written
+        if f_ts is None:
+            f_ts = ex.submit(w_term_stats)  # needs the postings just written
         f_docs.result()
         f_ds.result()
         f_ts.result()

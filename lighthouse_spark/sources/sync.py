@@ -221,7 +221,7 @@ def apply_incremental(
         # rows already dead in this source must not re-count
         fr = _mask_dead(fr, prev_tombs.get(sname, []), spark)
         src_frames.append(fr.withColumn("_src", F.lit(sname)))
-    old_rows = (
+    old_rows_q = (
         _union(src_frames)
         .groupBy("_src", "field")
         .agg(
@@ -229,8 +229,34 @@ def apply_incremental(
             F.sum("dl").alias("dl"),
             F.collect_set("doc_id").alias("ids"),
         )
-        .collect()
     )
+
+    # ---- the old-versions aggregation and the delta-index
+    # materialization are independent — overlap them from driver
+    # threads (r8; they were serial, two full job latencies on the
+    # batch critical path). The delta index's cached per-doc aggregate
+    # is materialized here so the concurrent writers below never race
+    # to compute the tokenizer lineage.
+    from concurrent.futures import ThreadPoolExecutor
+
+    delta_idx = None
+    pos_ts = None
+    obs_ds = Observation()
+    field_names = sorted(fields)
+    with ThreadPoolExecutor(max_workers=2) as pre:
+        f_old = pre.submit(old_rows_q.collect)
+        if upserts is not None:
+            delta_idx = build_index(upserts, id_col, fields, man["analyzer_mode"], cache_agg=True)
+            if delta_idx._intermediates:
+                for a in delta_idx._intermediates:
+                    a.count()
+            else:
+                delta_idx.postings = delta_idx.postings.persist()
+                delta_idx.postings.count()
+            pos_ts = delta_idx.term_stats.select(
+                "field", "term", F.col("df").cast("long").alias("df")
+            )
+        old_rows = f_old.result()
     removed = [(r["field"], int(r["n"]), int(r["dl"])) for r in old_rows]
     old_by_snap: dict[str, set[int]] = {}
     for r in old_rows:
@@ -246,26 +272,6 @@ def apply_incremental(
         old_idx = build_index(old_docs, id_col, fields, man["analyzer_mode"])
         neg_ts = old_idx.term_stats.select(
             "field", "term", (-F.col("df")).cast("long").alias("df")
-        )
-
-    # ---- the four delta writes are mutually independent — submit them
-    # from driver threads (like save_index). The delta index's cached
-    # per-doc aggregate is materialized first so concurrent writers
-    # don't race to compute the tokenizer lineage.
-    delta_idx = None
-    pos_ts = None
-    obs_ds = Observation()
-    field_names = sorted(fields)
-    if upserts is not None:
-        delta_idx = build_index(upserts, id_col, fields, man["analyzer_mode"], cache_agg=True)
-        if delta_idx._intermediates:
-            for a in delta_idx._intermediates:
-                a.count()
-        else:
-            delta_idx.postings = delta_idx.postings.persist()
-            delta_idx.postings.count()
-        pos_ts = delta_idx.term_stats.select(
-            "field", "term", F.col("df").cast("long").alias("df")
         )
 
     def w_blocks():

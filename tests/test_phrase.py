@@ -100,3 +100,40 @@ def test_adjacency_intersect_chain_exhaustive(spark):
     )
     val = df2.select(_phrase_freq(("a", "zz")).alias("f")).collect()[0]["f"]
     assert val is None or val <= 0
+
+
+def test_adjacency_chain_order_invariant(spark):
+    """r8: the intersect chain starts from the rarest term (ascending
+    df) — order-free under the shift convention, so every df_map
+    permutation must yield identical freqs (VERDICT r7 next #3)."""
+    import random
+
+    from lighthouse_spark.operators.fused import _phrase_freq
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c"]
+    rows = []
+    for i in range(200):
+        posmap = {
+            t: sorted(rng.sample(range(0, 20), rng.randint(0, 7))) for t in vocab
+        }
+        rows.append((i, posmap))
+    df = spark.createDataFrame(rows, "id long, posmap map<string, array<int>>")
+    terms = ("a", "b", "c")
+    df_maps = [
+        None,
+        {"a": 1, "b": 2, "c": 3},
+        {"a": 3, "b": 2, "c": 1},
+        {"a": 2, "b": 1, "c": 3},
+        {"a": 5, "b": 5, "c": 5},  # ties -> slot-index tiebreak
+    ]
+    base = None
+    for dm in df_maps:
+        got = {
+            r["id"]: r["f"]
+            for r in df.select("id", _phrase_freq(terms, None, dm).alias("f")).collect()
+        }
+        if base is None:
+            base = got
+        else:
+            assert got == base, dm

@@ -76,3 +76,24 @@ def test_match_inside_string_literal_untouched(spark):
         "FROM MATCH('return', 3) a LIMIT 1",
     ).collect()[0]
     assert row["hint"] == "use MATCH('return', 3) like this"
+
+
+def test_match_after_apostrophed_comment_rewritten(spark):
+    """ADVICE r7: quote parity counted an apostrophe inside a -- / /* */
+    comment, leaving a later real MATCH unrewritten. The span scanner
+    must ignore comments (and \\' escapes) when classifying."""
+    from lighthouse_spark.api.sqlext import MatchSQL
+    from lighthouse_spark.plans.indexer import FieldSpec, build_index
+    from lighthouse_spark.sources.corpus import synthetic_corpus
+
+    docs = synthetic_corpus(spark, 50).cache()
+    idx = build_index(docs, "doc_id", {"content": FieldSpec("content")}, mode="code")
+    ms = MatchSQL(idx, "content")
+    out = ms.sql(
+        spark,
+        "-- don't trip the rewriter\n"
+        "SELECT a.doc_id /* it's fine */ FROM MATCH('return', 3) a",
+    ).collect()
+    assert len(out) == 3
+    # and the temp views are dropped after the statement resolves
+    assert not [t.name for t in spark.catalog.listTables() if t.name.startswith("_lh_match_")]
