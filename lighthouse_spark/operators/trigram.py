@@ -78,19 +78,23 @@ def build_trigram_index(
     staged = docs.select(F.col(id_col), t.alias("_t")).filter(
         F.length("_t") >= 3
     )
-    postings = (
-        staged.select(
-            id_col,
-            F.explode(
+    # r8 (guide §2.4): dedupe grams INSIDE the doc (array_distinct on
+    # the gram array) and the exploded (gram, id) rows are unique by
+    # construction — the old global .distinct() shuffled one row per
+    # gram OCCURRENCE (~|text| rows/doc; at 100 TB that distinct is
+    # the build's largest shuffle) where this shuffles nothing and
+    # explodes only the per-doc distinct grams.
+    postings = staged.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
                 F.expr(
                     "transform(sequence(1, length(_t) - 2),"
                     " i -> substring(_t, i, 3))"
                 )
-            ).alias("gram"),
-        )
-        .distinct()
-        .select("gram", id_col)
-    )
+            )
+        ).alias("gram"),
+    ).select("gram", id_col)
     stats = postings.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     return postings, stats
 
