@@ -127,86 +127,20 @@ def tokens_col(col: Column | str, mode: str = "simple") -> Column:
     return tokenize_udf(mode)(c)
 
 
-def term_freqs_udf(mode: str = "simple"):
-    """Pandas UDF: text -> struct<dl:long, tfs:map<string,int>>.
-
-    Aggregates term frequencies INSIDE the Arrow batch, so building
-    non-positional postings needs no token-level explode+groupBy
-    shuffle at all — the dominant cost at scale (one token row per
-    occurrence vs one map entry per distinct term)."""
-    if mode not in MODES:
-        raise ValueError(f"unknown analyzer mode {mode!r}")
-
-    from collections import Counter
-
-    @F.pandas_udf("struct<dl: long, tfs: map<string,int>>")
-    def _tf(s: pd.Series) -> pd.DataFrame:
-        toks = tokenize_pandas(s, mode)
-        return pd.DataFrame(
-            {"dl": toks.str.len().astype("int64"), "tfs": [dict(Counter(t)) for t in toks]}
-        )
-
-    return _tf
-
-
-def term_postings_udf(mode: str = "simple"):
-    """Pandas UDF: text -> struct<dl, terms, tfs, poss> — the
-    positional analogue of term_freqs_udf.
-
-    Aggregates per-doc term frequencies AND occurrence positions
-    inside the Arrow batch, so building positional postings needs no
-    token-level explode + groupBy + collect_list shuffle — at 10^12
-    docs that shuffle moves one row PER OCCURRENCE (the largest
-    shuffle in a positional build) where this moves one array entry
-    per distinct term. Parallel arrays (terms/tfs/poss), not a map,
-    so the build can arrays_zip + explode JVM-side."""
-    if mode not in MODES:
-        raise ValueError(f"unknown analyzer mode {mode!r}")
-
-    @F.pandas_udf(
-        "struct<dl: long, terms: array<string>, tfs: array<int>,"
-        " poss: array<array<int>>>"
-    )
-    def _tp(s: pd.Series) -> pd.DataFrame:
-        toks = tokenize_pandas(s, mode)
-        terms_l, tfs_l, poss_l = [], [], []
-        for t in toks:
-            d: dict = {}
-            for i, w in enumerate(t):
-                ps = d.get(w)
-                if ps is None:
-                    d[w] = [i]
-                else:
-                    ps.append(i)
-            terms_l.append(list(d))
-            tfs_l.append([len(v) for v in d.values()])
-            poss_l.append(list(d.values()))
-        return pd.DataFrame(
-            {
-                "dl": toks.str.len().astype("int64"),
-                "terms": terms_l,
-                "tfs": tfs_l,
-                "poss": poss_l,
-            }
-        )
-
-    return _tp
-
-
 def doc_terms_arrow(mode: str = "simple", positions: bool = True):
     """mapInArrow function: batches of (doc_id, _src) -> batches of
     (doc_id, dl, terms, tfs[, poss]) — the per-doc tokenize aggregate
     with ZERO per-token Python (guide §4.2).
 
-    term_freqs_udf/term_postings_udf aggregated per doc with a Python
-    loop over every token occurrence (plus a pandas round trip with
-    object-list columns on both sides of the Arrow boundary) — the
-    index build's largest single compute slice. Here everything stays
-    in Arrow/numpy: RE2 split, dictionary-encode, one lexsort to group
+    The r1-r7 pandas UDFs aggregated per doc with a Python loop over
+    every token occurrence (plus a pandas round trip with object-list
+    columns on both sides of the Arrow boundary) — the index build's
+    largest single compute slice. Here everything stays in
+    Arrow/numpy: RE2 split, dictionary-encode, one lexsort to group
     (doc, term), reduceat-style boundaries for tf, and the output List
     arrays assembled straight from offsets+values buffers.
 
-    Semantics match the UDFs exactly (same analyzer, same per-doc
+    Semantics match the old UDFs exactly (same analyzer, same per-doc
     (term, tf, positions) multiset — pinned by tests); the order of
     terms WITHIN one doc's arrays is unspecified (it was first-
     occurrence order before), which no consumer observes: postings
