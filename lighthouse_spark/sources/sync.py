@@ -636,15 +636,16 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
         )
 
     def w_term_stats():
-        # derived from the MERGED blocks' n_docs metadata (ground
-        # truth for the compacted corpus — same derivation as
-        # save_index.w_term_stats) instead of materializing the
-        # base+signed-delta live view; runs after w_postings
+        # r8: materialize the LIVE dictionary view (base + signed
+        # deltas, df>0 — the exact-df invariant every increment
+        # maintains, pinned by the upsert≡rebuild tests) instead of
+        # re-aggregating the merged blocks' n_docs. Identical values,
+        # but no dependency on the postings write — the dictionary
+        # rewrite now overlaps the merge instead of trailing it (the
+        # old chain serialized the compaction's two largest jobs).
         tp = max(2, n_shards // 2)
         (
-            spark.read.parquet(f"{cindex.path}/{new_dirs['postings']}")
-            .groupBy("field", "term")
-            .agg(F.sum("n_docs").cast("long").alias("df"))
+            cindex.term_stats
             .repartitionByRange(tp, "field", "term")
             .sortWithinPartitions("field", "term")
             .write.mode("overwrite")
@@ -656,8 +657,8 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
     with ThreadPoolExecutor(max_workers=3) as ex:
         f_post = ex.submit(w_postings)
         f_ds = ex.submit(w_doc_stats)
-        f_post.result()
         f_ts = ex.submit(w_term_stats)
+        f_post.result()
         f_ds.result()
         f_ts.result()
 
