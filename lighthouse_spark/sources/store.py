@@ -233,6 +233,122 @@ def _positions_stream(flat: np.ndarray, plens: np.ndarray):
     return p_buf, doc_bytes
 
 
+def _encode_core(
+    shard: int,
+    field: str,
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    codes: np.ndarray,
+    uniq,
+    avgdl: float,
+    block_size: int,
+    flat_pos: np.ndarray | None = None,
+    plens: np.ndarray | None = None,
+):
+    """Vectorized block encode of one (shard, field) group from flat
+    per-posting arrays in ARBITRARY order: sorts by (term, doc_id) —
+    the same lexicographic string order the pandas encode used — then
+    varint-encodes every block's gaps/tfs/dls/positions in single
+    passes and emits per-block binaries as zero-copy offset windows.
+
+    `codes`/`uniq` are a dictionary encoding of the per-posting term
+    (any code order); `flat_pos`/`plens` are the concatenated ABSOLUTE
+    positions and per-posting counts (None for non-positional fields).
+    Shared by the build encoder (_block_encoder_arrow) and the
+    compaction merge (_merge_blocks_arrow) so their byte layouts can
+    never diverge. Returns one RecordBatch (None for empty input)."""
+    import pyarrow as pa
+
+    n = ids.size
+    if n == 0:
+        return None
+    # lexicographic term order == the old pandas string sort
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[np.argsort(np.asarray(uniq, dtype=object))] = np.arange(len(uniq))
+    rcodes = rank[codes]
+    order = np.lexsort((ids, rcodes))
+    ids, tfs, dls, codes = ids[order], tfs[order], dls[order], codes[order]
+
+    new_term = np.ones(n, dtype=bool)
+    new_term[1:] = codes[1:] != codes[:-1]
+    term_start = np.maximum.accumulate(
+        np.where(new_term, np.arange(n), 0)
+    )
+    rk = np.arange(n) - term_start
+    block_start = new_term | (rk % block_size == 0)
+    starts = np.flatnonzero(block_start)
+    ends = np.append(starts[1:], n)
+    nb = starts.size
+
+    diffs = np.zeros(n, dtype=np.uint64)
+    if n > 1:
+        diffs[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
+    gaps = np.where(block_start, codec.zigzag_encode(ids), diffs)
+    id_buf, id_len = codec.varint_encode_with_lengths(gaps)
+    tf_buf, tf_len = codec.varint_encode_with_lengths(tfs.astype(np.uint64))
+    dl_buf, dl_len = codec.varint_encode_with_lengths(dls.astype(np.uint64))
+
+    bounds = np.append(starts, n)
+
+    def bin_col(buf, lens):
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        boff = off[bounds].astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), nb,
+            [None, pa.py_buffer(boff), pa.py_buffer(buf)],
+        )
+
+    tfn = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+    max_tfn = np.maximum.reduceat(tfn, starts)
+
+    if flat_pos is not None:
+        # gather position segments into sorted posting order
+        plens_s = plens[order]
+        seg_start = np.zeros(n, dtype=np.int64)
+        np.cumsum(plens[:-1], out=seg_start[1:])
+        total = int(plens_s.sum())
+        if total:
+            out_base = np.zeros(n, dtype=np.int64)
+            np.cumsum(plens_s[:-1], out=out_base[1:])
+            gather = (
+                np.repeat(seg_start[order], plens_s)
+                + np.arange(total)
+                - np.repeat(out_base, plens_s)
+            )
+            flat_sorted = flat_pos[gather]
+        else:
+            flat_sorted = np.zeros(0, dtype=np.int64)
+        p_buf, doc_bytes = _positions_stream(flat_sorted, plens_s)
+        p_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(doc_bytes, out=p_off[1:])
+        pboff = p_off[bounds].astype(np.int32)
+        pos_col = pa.Array.from_buffers(
+            pa.binary(), nb, [None, pa.py_buffer(pboff), pa.py_buffer(p_buf)]
+        )
+    else:
+        pos_col = pa.nulls(nb, pa.binary())
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.full(nb, shard, dtype=np.int32)),
+            pa.array([field] * nb, pa.string()),
+            uniq.take(pa.array(codes[starts])),
+            pa.array((rk[starts] // block_size).astype(np.int32)),
+            pa.array((ends - starts).astype(np.int32)),
+            bin_col(id_buf, id_len),
+            bin_col(tf_buf, tf_len),
+            bin_col(dl_buf, dl_len),
+            pos_col,
+            pa.array(max_tfn),
+            pa.array(ids[ends - 1]),
+            pa.array(np.full(nb, avgdl)),
+        ],
+        _BLOCK_COLS,
+    )
+
+
 def _block_encoder_arrow(block_size: int, avgdl_map: dict[str, float]):
     """mapInArrow encoder: per-doc aggregate rows (doc_id, field, dl,
     terms, tfs, poss, shard), partitioned by (shard, field), -> encoded
@@ -244,12 +360,12 @@ def _block_encoder_arrow(block_size: int, avgdl_map: dict[str, float]):
     shuffle moves ONE row per doc (dl once per doc, not per posting),
     the explode happens in numpy inside the task, and the per-block
     binary slices are zero-copy offset windows over the single varint
-    buffer. Memory per task is one shard-field group's postings —
-    bounded by the shard-count scale knob, same contract as the old
-    per-group pandas encode. Output rows are emitted sorted by (field,
-    term, block_id) within each shard, so the writer needs no extra
-    repartition/sort: term-sorted row groups keep the IN-list scan
-    pruning identical to the old layout."""
+    buffer (see _encode_core). Memory per task is one shard-field
+    group's postings — bounded by the shard-count scale knob, same
+    contract as the old per-group pandas encode. Output rows are
+    emitted sorted by (field, term, block_id) within each shard, so
+    the writer needs no extra repartition/sort: term-sorted row groups
+    keep the IN-list scan pruning identical to the old layout."""
     import pyarrow as pa
 
     def enc(batches):
@@ -259,7 +375,6 @@ def _block_encoder_arrow(block_size: int, avgdl_map: dict[str, float]):
         tbl = pa.Table.from_batches(batches).combine_chunks()
         shard_r = tbl["shard"].to_numpy()
         field_r = tbl["field"].to_pandas().to_numpy()
-        nrows = len(shard_r)
         # distinct (shard, field) groups, processed in sorted order so
         # each output file stays (field, term)-sorted
         keys = sorted(
@@ -286,49 +401,9 @@ def _block_encoder_arrow(block_size: int, avgdl_map: dict[str, float]):
             ids = g_ids[row_of]
             dls = g_dls[row_of]
             tfs = g_tfs.values.to_numpy().astype(np.int64)
-            # lexicographic term order == the old pandas string sort
             denc = g_terms.values.dictionary_encode()
             codes = denc.indices.to_numpy().astype(np.int64)
             uniq = denc.dictionary
-            rank = np.empty(len(uniq), dtype=np.int64)
-            rank[np.argsort(np.asarray(uniq, dtype=object))] = np.arange(len(uniq))
-            rcodes = rank[codes]
-            order = np.lexsort((ids, rcodes))
-            ids, tfs, dls, codes = ids[order], tfs[order], dls[order], codes[order]
-
-            avgdl = float(avgdl_map.get(field, 1.0))
-            new_term = np.ones(n, dtype=bool)
-            new_term[1:] = codes[1:] != codes[:-1]
-            term_start = np.maximum.accumulate(
-                np.where(new_term, np.arange(n), 0)
-            )
-            rk = np.arange(n) - term_start
-            block_start = new_term | (rk % block_size == 0)
-            starts = np.flatnonzero(block_start)
-            ends = np.append(starts[1:], n)
-            nb = starts.size
-
-            diffs = np.zeros(n, dtype=np.uint64)
-            if n > 1:
-                diffs[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
-            gaps = np.where(block_start, codec.zigzag_encode(ids), diffs)
-            id_buf, id_len = codec.varint_encode_with_lengths(gaps)
-            tf_buf, tf_len = codec.varint_encode_with_lengths(tfs.astype(np.uint64))
-            dl_buf, dl_len = codec.varint_encode_with_lengths(dls.astype(np.uint64))
-
-            bounds = np.append(starts, n)
-
-            def bin_col(buf, lens):
-                off = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(lens, out=off[1:])
-                boff = off[bounds].astype(np.int32)
-                return pa.Array.from_buffers(
-                    pa.binary(), nb,
-                    [None, pa.py_buffer(boff), pa.py_buffer(buf)],
-                )
-
-            tfn = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-            max_tfn = np.maximum.reduceat(tfn, starts)
 
             # a field is entirely positional or not, so a group's poss
             # column is either all-null or fully populated
@@ -337,49 +412,17 @@ def _block_encoder_arrow(block_size: int, avgdl_map: dict[str, float]):
                 flat_lists = g_poss.flatten()  # one list per posting
                 plens_all = np.diff(flat_lists.offsets.to_numpy())
                 flat_all = flat_lists.values.to_numpy().astype(np.int64)
-                # gather position segments into sorted posting order
-                plens = plens_all[order]
-                seg_start = np.zeros(n, dtype=np.int64)
-                np.cumsum(plens_all[:-1], out=seg_start[1:])
-                total = int(plens.sum())
-                if total:
-                    out_base = np.zeros(n, dtype=np.int64)
-                    np.cumsum(plens[:-1], out=out_base[1:])
-                    gather = (
-                        np.repeat(seg_start[order], plens)
-                        + np.arange(total)
-                        - np.repeat(out_base, plens)
-                    )
-                    flat_sorted = flat_all[gather]
-                else:
-                    flat_sorted = np.zeros(0, dtype=np.int64)
-                p_buf, doc_bytes = _positions_stream(flat_sorted, plens)
-                p_off = np.zeros(n + 1, dtype=np.int64)
-                np.cumsum(doc_bytes, out=p_off[1:])
-                pboff = p_off[bounds].astype(np.int32)
-                pos_col = pa.Array.from_buffers(
-                    pa.binary(), nb, [None, pa.py_buffer(pboff), pa.py_buffer(p_buf)]
-                )
             else:
-                pos_col = pa.nulls(nb, pa.binary())
+                plens_all = None
+                flat_all = None
 
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.full(nb, shard, dtype=np.int32)),
-                    pa.array([field] * nb, pa.string()),
-                    uniq.take(pa.array(codes[starts])),
-                    pa.array((rk[starts] // block_size).astype(np.int32)),
-                    pa.array((ends - starts).astype(np.int32)),
-                    bin_col(id_buf, id_len),
-                    bin_col(tf_buf, tf_len),
-                    bin_col(dl_buf, dl_len),
-                    pos_col,
-                    pa.array(max_tfn),
-                    pa.array(ids[ends - 1]),
-                    pa.array(np.full(nb, avgdl)),
-                ],
-                _BLOCK_COLS,
+            batch = _encode_core(
+                shard, field, ids, tfs, dls, codes, uniq,
+                float(avgdl_map.get(field, 1.0)), block_size,
+                flat_all, plens_all,
             )
+            if batch is not None:
+                yield batch
 
     return enc
 
@@ -414,6 +457,140 @@ def _agg_blocks_arrow(
     return u.repartition("shard", "field").mapInArrow(
         _block_encoder_arrow(block_size, dict(avgdl_map)), POSTING_SCHEMA
     )
+
+
+def _merge_blocks_arrow(block_size: int, avgdl_map: dict[str, float], tomb_bc):
+    """mapInArrow compaction merge: encoded base+delta block rows
+    (POSTING_SCHEMA + snapshot), partitioned by (shard, field), ->
+    clean re-encoded block rows for the live corpus.
+
+    Replaces the per-block pandas merge (decode_positions built one
+    Python list of arrays per posting, then _encode_group re-walked
+    them): here each column of a whole (shard, field) group decodes in
+    ONE vectorized varint pass over the concatenated block buffers
+    (doc ids via a segmented cumsum with per-block zigzag absolutes),
+    dead docs mask per source snapshot in numpy, and the re-encode is
+    the SAME _encode_core the build encoder uses — so a compacted
+    block's bytes provably match a from-scratch build of the live
+    corpus (pinned by the sync suite's compact≡rebuild checks). The
+    only per-posting Python work left is the position count-slot walk
+    (inherent: each count locates the next), which touches one int per
+    POSTING, not per position. Rows leave sorted by (field, term,
+    block_id) per shard, so compact's old repartition+sort second
+    exchange is gone (guide §2.4), matching the build writer."""
+    import pyarrow as pa
+
+    def merge(batches):
+        batches = [b for b in batches if b.num_rows]
+        if not batches:
+            return
+        tomb = tomb_bc.value if tomb_bc is not None else {}
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        shard_r = tbl["shard"].to_numpy()
+        field_r = tbl["field"].to_pandas().to_numpy()
+        keys = sorted({(int(s), str(f)) for s, f in zip(shard_r, field_r)})
+        nd_c = tbl["n_docs"].to_numpy().astype(np.int64)
+        snap_c = tbl["snapshot"].to_pandas().to_numpy()
+
+        def concat_bin(col) -> bytes:
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            return b"".join(m if m is not None else b"" for m in arr.to_pylist())
+
+        for shard, field in keys:
+            ridx = np.flatnonzero((shard_r == shard) & (field_r == field))
+            take = pa.array(ridx)
+            g_nd = nd_c[ridx]
+            n = int(g_nd.sum())
+            if n == 0:
+                continue
+            bs_idx = np.zeros(g_nd.size, dtype=np.int64)
+            np.cumsum(g_nd[:-1], out=bs_idx[1:])
+
+            # ---- doc ids: one varint pass + segmented cumsum with the
+            # per-block zigzag absolute at each block start
+            gaps = codec.varint_decode(concat_bin(tbl["doc_ids_enc"].take(take)))
+            abs0 = codec.zigzag_decode(gaps[bs_idx])
+            t = gaps.astype(np.int64)
+            t[bs_idx] = 0
+            c = np.cumsum(t)
+            ids = c - np.repeat(c[bs_idx], g_nd) + np.repeat(abs0, g_nd)
+            tfs = codec.varint_decode(
+                concat_bin(tbl["tfs_enc"].take(take))
+            ).astype(np.int64)
+            dls = codec.varint_decode(
+                concat_bin(tbl["dls_enc"].take(take))
+            ).astype(np.int64)
+
+            # ---- per-posting term codes: dictionary-encode the block
+            # terms, repeat per block's doc count
+            g_terms = tbl["term"].take(take).combine_chunks()
+            denc = g_terms.dictionary_encode()
+            codes = np.repeat(denc.indices.to_numpy().astype(np.int64), g_nd)
+            uniq = denc.dictionary
+
+            # ---- positions: decode the concatenated [count, p0, gap..]
+            # streams once; the count-slot walk yields per-posting value
+            # segments, gaps -> absolutes via one segmented cumsum
+            g_pos = tbl["positions_enc"].take(take).combine_chunks()
+            if g_pos.null_count == 0:
+                flat = codec.varint_decode(concat_bin(g_pos)).astype(np.int64)
+                fl = flat.tolist()
+                plens = np.empty(n, dtype=np.int64)
+                slots = np.empty(n, dtype=np.int64)
+                i = 0
+                for w in range(n):
+                    slots[w] = i
+                    cnt = fl[i]
+                    plens[w] = cnt
+                    i += cnt + 1
+                if i != len(fl):
+                    raise ValueError(
+                        f"positions stream length mismatch: walked {i}, have {len(fl)}"
+                    )
+                vmask = np.ones(flat.size, dtype=bool)
+                vmask[slots] = False
+                d = flat[vmask]  # per-posting [p0_abs, gap...] segments
+                seg = np.zeros(n, dtype=np.int64)
+                np.cumsum(plens[:-1], out=seg[1:])
+                off = np.cumsum(d)
+                nz = plens > 0
+                base_vals = np.zeros(n, dtype=np.int64)
+                base_vals[nz] = off[seg[nz]] - d[seg[nz]]
+                flat_abs = off - np.repeat(base_vals, plens)
+            elif g_pos.null_count == len(g_pos):
+                flat_abs = None
+                plens = None
+            else:
+                raise ValueError(
+                    f"mixed positional/non-positional blocks in field {field!r}"
+                )
+
+            # ---- mask dead docs per source snapshot (Lucene live-docs)
+            g_snap = snap_c[ridx]
+            keep = np.ones(n, dtype=bool)
+            for sname in set(g_snap):
+                dead = tomb.get(sname)
+                if dead is None or not np.asarray(dead).size:
+                    continue
+                sel = np.repeat(g_snap == sname, g_nd)
+                keep[sel] = ~np.isin(ids[sel], np.asarray(dead, dtype=np.int64))
+            if not keep.all():
+                if flat_abs is not None:
+                    flat_abs = flat_abs[np.repeat(keep, plens)]
+                    plens = plens[keep]
+                ids, tfs, dls, codes = ids[keep], tfs[keep], dls[keep], codes[keep]
+                if ids.size == 0:
+                    continue
+
+            batch = _encode_core(
+                shard, field, ids, tfs, dls, codes, uniq,
+                float(avgdl_map.get(field, 1.0)), block_size,
+                flat_abs, plens,
+            )
+            if batch is not None:
+                yield batch
+
+    return merge
 
 
 @dataclass

@@ -551,52 +551,6 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
     }
     bs = man["block_size"]
 
-    from lighthouse_spark.functions import codec as _codec
-    import numpy as np
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        tomb = tomb_bc.value
-        ids_l, tfs_l, dls_l, terms_l, pos_l = [], [], [], [], []
-        any_pos = False
-        for row in pdf.itertuples(index=False):
-            ids = _codec.delta_decode(bytes(row.doc_ids_enc))
-            tfs = _codec.varint_decode(bytes(row.tfs_enc)).astype(np.int64)
-            dls = _codec.varint_decode(bytes(row.dls_enc)).astype(np.int64)
-            if row.positions_enc is not None:
-                poss = _codec.decode_positions(bytes(row.positions_enc), ids.size)
-                any_pos = True
-            else:
-                poss = [None] * ids.size
-            t = tomb.get(row.snapshot)
-            if t is not None and t.size:
-                live = ~np.isin(ids, t)
-                if not live.any():
-                    continue
-                ids, tfs, dls = ids[live], tfs[live], dls[live]
-                poss = [p for p, lv in zip(poss, live) if lv]
-            ids_l.append(ids)
-            tfs_l.append(tfs)
-            dls_l.append(dls)
-            terms_l.append(np.full(ids.size, row.term, dtype=object))
-            pos_l.extend(poss)
-        if not ids_l:
-            return pd.DataFrame(
-                {c: [] for c in store_mod._BLOCK_COLS}, columns=store_mod._BLOCK_COLS
-            )
-        flat = pd.DataFrame(
-            {
-                "shard": int(pdf["shard"].iloc[0]),
-                "field": pdf["field"].iloc[0],
-                "term": np.concatenate(terms_l),
-                "doc_id": np.concatenate(ids_l),
-                "tf": np.concatenate(tfs_l),
-                "dl": np.concatenate(dls_l),
-            }
-        )
-        if any_pos:
-            flat["positions"] = pos_l
-        return store_mod._encode_group(flat, bs, avgdl_map)
-
     dirs = dict(man.get("dirs", {k: k for k in ("docs", "doc_stats", "term_stats", "postings")}))
     new_dirs = {k: f"{k}_v_{snap}" for k in ("doc_stats", "term_stats", "postings")}
 
@@ -606,8 +560,18 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
     obs_blocks = Observation()
 
     def w_postings():
-        merged = cindex.postings.groupBy("shard", "field").applyInPandas(
-            merge, POSTING_SCHEMA
+        # r8: vectorized decode→re-encode merge (store._merge_blocks_arrow,
+        # sharing _encode_core with the build encoder) over ONE exchange;
+        # rows leave (field, term, block_id)-sorted per shard, so the old
+        # repartition("shard") + sortWithinPartitions second exchange is
+        # gone — same single-exchange shape as the build's postings write.
+        sel = cindex.postings.select(
+            "shard", "field", "term", "n_docs", "doc_ids_enc", "tfs_enc",
+            "dls_enc", "positions_enc", "snapshot",
+        )
+        merged = sel.repartition("shard", "field").mapInArrow(
+            store_mod._merge_blocks_arrow(bs, avgdl_map, tomb_bc),
+            POSTING_SCHEMA,
         )
         b_aggs = []
         for s in range(n_shards):
@@ -616,8 +580,6 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
             b_aggs.append(F.sum(F.when(cond, F.col("n_docs"))).alias(f"po_{s}"))
         (
             merged.observe(obs_blocks, *b_aggs)
-            .repartition("shard")
-            .sortWithinPartitions("field", "term", "block_id")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(f"{cindex.path}/{new_dirs['postings']}")

@@ -155,6 +155,50 @@ def test_compaction_preserves_results(spark, base, tmp_path):
     assert ops[0] == "full_build" and "incremental" in ops
 
 
+def test_compacted_blocks_match_rebuild_bytes(spark, tmp_path):
+    """The vectorized compaction merge (store._merge_blocks_arrow,
+    decode → _encode_core) must produce postings blocks BYTE-identical
+    to a from-scratch build of the live corpus — every encoded binary
+    (doc-id gaps, tfs, dls, positional payloads), block boundary, and
+    block-max statistic, with positions ON (the sync suite's other
+    compact tests run positions=False)."""
+    pfields = {"content": FieldSpec("content", positions=True)}
+    docs = synthetic_corpus(spark, 300)
+    ci = build_and_save(
+        docs, "doc_id", pfields, str(tmp_path / "pidx"), mode="code", n_shards=4
+    )
+    dcache = ci.docs.cache()
+    ids = [r["doc_id"] for r in dcache.select("doc_id").orderBy("doc_id").limit(30).collect()]
+    upd = dcache.filter(F.col("doc_id").isin(ids[:20])).withColumn(
+        "content", F.concat(F.lit("bytecheck marker "), F.col("content"))
+    )
+    dels = spark.createDataFrame([(i,) for i in ids[20:30]], "doc_id long")
+    ci = sync.apply_incremental(ci, upserts=upd, delete_ids=dels)
+    ci = sync.compact(ci)
+
+    staged = str(tmp_path / "live_docs")
+    ci.docs.write.mode("overwrite").parquet(staged)
+    rb = build_and_save(
+        spark.read.parquet(staged), "doc_id", pfields,
+        str(tmp_path / "pidx_rb"), mode="code", n_shards=4,
+    )
+
+    def block_rows(c):
+        rows = c.postings.drop("snapshot").collect()
+        return sorted(
+            (
+                r["shard"], r["field"], r["term"], r["block_id"], r["n_docs"],
+                bytes(r["doc_ids_enc"]), bytes(r["tfs_enc"]), bytes(r["dls_enc"]),
+                bytes(r["positions_enc"]),
+                r["max_tfn"], r["max_doc_id"], r["enc_avgdl"],
+            )
+            for r in rows
+        )
+
+    left, right = block_rows(ci), block_rows(rb)
+    assert len(left) == len(right) and left == right
+
+
 def test_compaction_sweeps_orphaned_dirs(spark, base, tmp_path):
     """Intermediate syncs orphan versioned dirs (a bucket rewritten
     twice leaves the middle docs_v_* dir unreferenced); compaction must
