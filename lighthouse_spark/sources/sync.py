@@ -527,10 +527,12 @@ def compact(cindex: CompressedIndex) -> CompressedIndex:
     posting blocks per (shard, field) — never re-tokenizing the corpus.
 
     - postings: base+delta blocks decode to flat (term, doc_id, tf, dl,
-      positions) inside one applyInPandas per (shard, field), dead docs
-      masked per source snapshot (broadcast), then re-encoded with the
-      exact current avgdl — byte-equivalent to a from-scratch build's
-      blocks for the same live corpus.
+      positions) arrays inside one vectorized mapInArrow per (shard,
+      field) group (store._merge_blocks_arrow), dead docs masked per
+      source snapshot (broadcast), then re-encoded with the exact
+      current avgdl through the build encoder's own _encode_core —
+      byte-identical to a from-scratch build's blocks for the same live
+      corpus (pinned by test_compacted_blocks_match_rebuild_bytes).
     - doc_stats: per-source union minus each source's tombstones.
     - term_stats: the live (base + signed deltas) view, materialized
       range-partitioned/sorted again.
